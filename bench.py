@@ -1,0 +1,136 @@
+"""Benchmark: fused MYULA+TV-prox SAPG iteration throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "sapg_iters_per_sec_512", "value": N, "unit": "iter/s",
+   "vs_baseline": R}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+per-iteration cost of the reference algorithm measured here, on this host,
+with a NumPy implementation of the reference's per-iteration math
+(full-spectrum FFT A/Aᵀ + hyper-gradient FFTs + 25-iter Chambolle prox —
+the same work MATLAB does per iteration, backed by the same class of
+optimized CPU FFT/BLAS).  vs_baseline = tpu_iters_per_sec / cpu_ref_iters_per_sec.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIZE = int(os.environ.get("BENCH_SIZE", "512"))
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", "1"))
+N_STEPS = int(os.environ.get("BENCH_STEPS", "200"))
+
+
+def bench_tpu():
+    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+    from semiblind_tv_tpu.sapg.estimator import make_sapg_step
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    problem = build_problem(
+        synthetic_wheel(SIZE), cfg, jax.random.key(0), dtype=jnp.float32
+    )
+    step, aux = make_sapg_step(problem, n_chains=N_CHAINS)
+
+    theta0 = jnp.float32(cfg.theta.init)
+    sigma0 = problem.sigma2_init.astype(jnp.float32)
+    params0 = {k: jnp.float32(v) for k, v in cfg.init_psf_params().items()}
+    X0 = jnp.broadcast_to(problem.y, (N_CHAINS, SIZE, SIZE))
+    prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
+    keys = jax.random.split(jax.random.key(1), N_CHAINS)
+    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0)
+
+    @jax.jit
+    def run(carry):
+        iis = jnp.arange(2.0, N_STEPS + 2.0, dtype=jnp.float32)
+        carry, _ = jax.lax.scan(step, carry, iis)
+        return carry
+
+    carry = jax.block_until_ready(run(carry))  # compile + warm
+    t0 = time.perf_counter()
+    carry = jax.block_until_ready(run(carry))
+    dt = time.perf_counter() - t0
+    return N_STEPS * N_CHAINS / dt
+
+
+def bench_cpu_reference():
+    """Reference per-iteration math in NumPy (MATLAB-equivalent work)."""
+    rng = np.random.default_rng(0)
+    x = rng.random((SIZE, SIZE)) * 255.0
+    y = x + rng.standard_normal((SIZE, SIZE))
+
+    s = 7
+    offs = np.arange(s) - (s - 1) / 2.0
+    v, u = offs[:, None], offs[None, :]
+
+    def kern(w1, w2):
+        f = (w1 * w2) / (2 * np.pi) * np.exp(-(w1**2 * u**2 + w2**2 * v**2) / 2)
+        return f / f.sum()
+
+    def otf(k):
+        p = np.zeros((SIZE, SIZE))
+        p[:s, :s] = k
+        return np.fft.fft2(p)
+
+    def chambolle(g, lam, iters):
+        px = np.zeros_like(g)
+        py = np.zeros_like(g)
+        for _ in range(iters):
+            un = (
+                np.concatenate([px[:1], px[1:-1] - px[:-2], -px[-1:]], 0)
+                + np.concatenate([py[:, :1], py[:, 1:-1] - py[:, :-2], -py[:, -1:]], 1)
+                - g / lam
+            )
+            ux = np.concatenate([un[1:] - un[:-1], np.zeros((1, SIZE))], 0)
+            uy = np.concatenate([un[:, 1:] - un[:, :-1], np.zeros((SIZE, 1))], 1)
+            t = np.sqrt(ux**2 + uy**2)
+            px = (px + 0.249 * ux) / (1 + 0.249 * t)
+            py = (py + 0.249 * uy) / (1 + 0.249 * t)
+        div = np.concatenate([px[:1], px[1:-1] - px[:-2], -px[-1:]], 0) + np.concatenate(
+            [py[:, :1], py[:, 1:-1] - py[:, :-2], -py[:, -1:]], 1
+        )
+        return g - lam * div
+
+    X = y.copy()
+    n_iter = max(3, 2000 // (SIZE // 8))  # keep the CPU measurement short
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        # per-iteration work of SAPG_algorithm_Guassian.m:158-194
+        H = otf(kern(0.5, 0.3))
+        dH1 = otf(kern(0.51, 0.3))  # gradient-kernel OTF (same cost)
+        dH2 = otf(kern(0.5, 0.31))
+        AX = np.real(np.fft.ifft2(H * np.fft.fft2(X)))
+        gradF = np.real(np.fft.ifft2(np.conj(H) * np.fft.fft2(AX - y)))
+        X = np.abs(X - 1e-5 * gradF + 1e-3 * rng.standard_normal((SIZE, SIZE)))
+        X = chambolle(X, 0.01, 25)
+        r = np.real(np.fft.ifft2(H * np.fft.fft2(X))) - y
+        np.sum(np.real(np.fft.ifft2(dH1 * np.fft.fft2(X))) * r)
+        np.sum(np.real(np.fft.ifft2(dH2 * np.fft.fft2(X))) * r)
+        np.sum(np.sqrt((X - np.roll(X, 1, 0)) ** 2 + (X - np.roll(X, 1, 1)) ** 2))
+    dt = time.perf_counter() - t0
+    return n_iter / dt
+
+
+def main():
+    tpu_rate = bench_tpu()
+    cpu_rate = bench_cpu_reference()
+    print(
+        json.dumps(
+            {
+                "metric": f"sapg_iters_per_sec_{SIZE}",
+                "value": round(tpu_rate, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

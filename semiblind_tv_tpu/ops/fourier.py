@@ -1,0 +1,177 @@
+"""Fourier-domain circular blur operator, TPU-first.
+
+The reference embeds the s x s PSF into the *top-left corner* of an
+image-sized array and takes fft2 (`utils/resize.m:1-12` — note: no circular
+centering, so the blur carries a (s-1)/2-pixel translation; we reproduce this
+exactly for parity), then applies the blur as an FFT-diagonal multiply
+(`run_Gaussian_demo.m:136-137`).
+
+TPU-first redesign decisions:
+
+  * Real-input images ⇒ we work on the rfft2 half-spectrum grid
+    (shape (M, N//2 + 1)) — half the transform cost and memory of the
+    reference's complex fft2.
+  * The PSF changes every SAPG iteration (its parameters are being
+    estimated), so the OTF must be recomputed per step.  Instead of padding
+    to (M, N) and running a full FFT over mostly-zeros, we evaluate the DFT
+    of the s x s kernel directly with two tiny complex matmuls
+    (s x M and s x (N//2+1) Fourier factor matrices): H = Fx^T K Fy.
+    This is exact, O(s·M·N/2) work, and maps onto the MXU.
+  * Inner products that the reference computes in the spatial domain after
+    extra inverse FFTs (`run_Gaussian_demo.m:173-175`) are evaluated with
+    Parseval's theorem on the half-spectrum (`parseval_dot`), eliminating
+    those FFTs entirely.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "otf_fft",
+    "otf_rfft",
+    "dft_factors",
+    "rfft_weights",
+    "parseval_dot",
+    "parseval_norm_sq",
+    "BlurOperator",
+]
+
+
+def otf_fft(kernel: jnp.ndarray, shape) -> jnp.ndarray:
+    """Full-spectrum OTF via corner-pad + fft2 (parity path with resize.m)."""
+    M, N = shape
+    s = kernel.shape[0]
+    padded = jnp.zeros((M, N), kernel.dtype).at[:s, :s].set(kernel)
+    return jnp.fft.fft2(padded)
+
+
+def dft_factors(size: int, shape, dtype=jnp.complex64):
+    """Fourier factor matrices (Fx, Fy) for the corner-embedded DFT.
+
+    Fx[i, m] = exp(-2πi·i·m / M) for i in [0, s), m in [0, M)
+    Fy[j, n] = exp(-2πi·j·n / N) for j in [0, s), n in [0, N//2]  (rfft cols)
+
+    Built host-side in NumPy (f64 phase accumulation, then cast): they are
+    compile-time constants, and eager complex transcendentals are not
+    implemented on every TPU runtime.
+    """
+    import numpy as np
+
+    M, N = shape
+    i = np.arange(size)
+    ang_x = (-2.0 * np.pi / M) * np.outer(i, np.arange(M))
+    ang_y = (-2.0 * np.pi / N) * np.outer(i, np.arange(N // 2 + 1))
+    np_dtype = np.complex128 if dtype == jnp.complex128 else np.complex64
+    # Stay as host numpy arrays: jit embeds them as constants directly, and
+    # some TPU runtimes cannot transfer complex device buffers back to host.
+    Fx = np.exp(1j * ang_x).astype(np_dtype)
+    Fy = np.exp(1j * ang_y).astype(np_dtype)
+    return Fx, Fy
+
+
+def otf_rfft(kernel: jnp.ndarray, shape, factors=None) -> jnp.ndarray:
+    """Half-spectrum OTF of the corner-embedded kernel via two small matmuls.
+
+    Exactly equals otf_fft(kernel, shape)[:, : N//2 + 1].
+    """
+    s = kernel.shape[0]
+    if factors is None:
+        factors = dft_factors(s, shape)
+    Fx, Fy = factors
+    k = kernel.astype(jnp.asarray(Fx).dtype)
+    # (M, s) @ (s, s) @ (s, N//2+1) -> (M, N//2+1).  HIGHEST precision: these
+    # matmuls are tiny but the OTF feeds every gradient — the TPU's default
+    # bf16 matmul would inject ~1e-3 relative error into H.
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Fx.T, k, precision=hp), Fy, precision=hp)
+
+
+def rfft_weights(shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Multiplicity weights of rfft2 columns for full-spectrum sums.
+
+    Column n of the half-spectrum represents one full-spectrum column for
+    n == 0 and (if N even) n == N/2, and two (conjugate pair) otherwise.
+    """
+    _, N = shape
+    ncols = N // 2 + 1
+    w = 2.0 * jnp.ones((ncols,), dtype)
+    w = w.at[0].set(1.0)
+    if N % 2 == 0:
+        w = w.at[-1].set(1.0)
+    return w[None, :]
+
+
+def parseval_dot(ahat, bhat, weights, dim):
+    """sum(a * b) over the spatial domain, for real a, b given on the rfft grid.
+
+    sum_{x} a(x) b(x) = (1/MN) * sum_{full spectrum} ahat * conj(bhat)  (real part)
+    """
+    return jnp.sum(weights * (ahat * jnp.conj(bhat)).real) / dim
+
+
+def parseval_norm_sq(ahat, weights, dim):
+    """||a||_F^2 for a real field given on the rfft grid."""
+    re, im = ahat.real, ahat.imag
+    return jnp.sum(weights * (re * re + im * im)) / dim
+
+
+class BlurOperator:
+    """Circular convolution A (and A^T) as an rfft-diagonal multiply.
+
+    Mirrors the reference closures A/AT (run_Gaussian_demo.m:136-137) but on
+    the half-spectrum.  Stateless apart from cached DFT factor matrices and
+    Parseval weights; the OTF is passed in (it changes every SAPG step).
+    """
+
+    def __init__(self, shape, psf_size: int, dtype=jnp.float32):
+        self.shape = tuple(shape)
+        self.psf_size = int(psf_size)
+        self.dtype = dtype
+        cplx = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        self.factors = dft_factors(psf_size, shape, cplx)
+        self.weights = rfft_weights(shape, dtype)
+        self.dim = self.shape[0] * self.shape[1]
+
+    def otf(self, kernel: jnp.ndarray) -> jnp.ndarray:
+        return otf_rfft(kernel, self.shape, self.factors)
+
+    def otf_host(self, kernel) -> "np.ndarray":
+        """OTF computed host-side (NumPy, f64) and returned as a NumPy array.
+
+        Use for OTFs that become jit-closure constants: some TPU runtimes
+        cannot transfer complex device buffers back to the host, so a
+        device-resident complex closure constant fails at lowering, while a
+        host NumPy constant embeds fine.
+        """
+        import numpy as np
+
+        Fx, Fy = self.factors
+        k = np.asarray(kernel).astype(np.complex128)
+        H = (np.asarray(Fx, np.complex128).T @ k) @ np.asarray(Fy, np.complex128)
+        return H.astype(np.complex128 if self.dtype == jnp.float64 else np.complex64)
+
+    def rfft_host(self, x) -> "np.ndarray":
+        """Host-side rfft2 → NumPy array (same rationale as otf_host)."""
+        import numpy as np
+
+        out = np.fft.rfft2(np.asarray(x))
+        return out.astype(
+            np.complex128 if self.dtype == jnp.float64 else np.complex64
+        )
+
+    def rfft(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.fft.rfft2(x)
+
+    def irfft(self, xhat: jnp.ndarray) -> jnp.ndarray:
+        return jnp.fft.irfft2(xhat, s=self.shape).astype(self.dtype)
+
+    def apply(self, x: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+        """A x = irfft2(H ∘ rfft2(x))."""
+        return self.irfft(H * self.rfft(x))
+
+    def apply_adjoint(self, x: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+        """A^T x = irfft2(conj(H) ∘ rfft2(x))."""
+        return self.irfft(jnp.conj(H) * self.rfft(x))

@@ -1,0 +1,446 @@
+"""Generic SAPG estimator — the fused TPU hot loop.
+
+One estimator replaces the reference's three near-duplicate files
+(`SAPG/SAPG_algorithm_Guassian.m:7-308`, `SAPG_algorithm_laplace.m:7-268`,
+`SAPG_algorithm_moffat.m:7-297`): the PSF family enters as a `PsfModel`
+and the per-parameter policies as `ParamSpec`s.
+
+Algorithm (reference SAPG_algorithm_Guassian.m):
+  warm-up:  `warmup` MYULA steps at fixed hyperparameters          (:67-93)
+  main:     for ii = 2..samples
+              X ← MYULA step (prox carried from previous iter)      (:158-162)
+              G_θ = d/θ − TV(X);     θ ← clip(θ + c_θ δ(ii) G_θ)    (:165-167)
+              G_p = ⟨∂_p A X, AX−y⟩/σ²;  p ← clip(p − c_p δ(ii) G_p) (:170-185)
+              G_σ = ‖AX−y‖²/2σ⁴ − d/2σ²; σ² ← clip(σ² + c_σ δ(ii) G_σ) (:188-194)
+            δ(ii) = d_scale · ii^(−d_exp) / d                        (:55)
+  EB estimates = mean of iterates over [burnIn, samples]             (:258-290)
+
+TPU-first fusion (the reason this exists): per iteration the reference
+spends ~12 full 512² FFTs (A, Aᵀ, and one inverse FFT per hyper-gradient).
+Here the scan carries rfft2(X); residual and all hyper-gradients are
+evaluated on the rfft half-spectrum via Parseval, and the OTFs of the
+(changing) PSF and its parameter gradients are computed by tiny DFT
+matmuls.  Total transform cost: ONE rfft2 + ONE irfft2 per iteration.
+
+Chains: the estimator runs `n_chains` independent MYULA chains (vmapped on
+chip); the per-chain SA statistics are averaged — and `lax.pmean`-reduced
+over `axis_name` when running under shard_map — before the (replicated)
+hyperparameter update.  n_chains=1 reproduces the reference trajectory
+class exactly.
+
+Diagnostics (burn-in running means, relative-change tolerances, PSF
+L2-error traces) are *pure functions of the scalar traces* and are
+reconstructed post-hoc in O(n) — the MATLAB code recomputes O(n) means
+inside the loop (SAPG_algorithm_Guassian.m:218-247).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semiblind_tv_tpu.models.psf_models import ParamSpec
+from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+from semiblind_tv_tpu.runtime.problem import Problem
+from semiblind_tv_tpu.samplers.myula import myula_kernel_step
+
+__all__ = [
+    "SAPGResult",
+    "run_sapg",
+    "make_sapg_step",
+    "make_general_sapg_step",
+    "problem_consts",
+]
+
+
+@dataclasses.dataclass
+class SAPGResult:
+    """Mirror of the reference `results` struct (SAPG_algorithm_Guassian.m:250-306)."""
+
+    theta_EB: float
+    sigma2_EB: float
+    psf_params_EB: Dict[str, float]
+    thetas: np.ndarray
+    sigma2s: np.ndarray
+    psf_param_traces: Dict[str, np.ndarray]
+    logPiTrace: np.ndarray          # logPiTraceX
+    logPiTrace_warmup: np.ndarray   # logPiTrace_WU
+    gX: np.ndarray                  # regulariser trace (shifted like the reference)
+    grad_theta: np.ndarray
+    grad_sigma: np.ndarray
+    grad_psf: Dict[str, np.ndarray]
+    mean_thetas: np.ndarray
+    mean_sigma2s: np.ndarray
+    mean_psf: Dict[str, np.ndarray]
+    tol_thetas: np.ndarray
+    tol_sigma2s: np.ndarray
+    tol_psf: Dict[str, np.ndarray]
+    err_psf: np.ndarray
+    X_last: np.ndarray              # (n_chains, M, N)
+    last_samp: int
+    exec_time: float
+
+    @property
+    def last_theta(self):
+        return float(self.thetas[-1])
+
+
+def _running_window_stats(trace: np.ndarray, burn_in: int):
+    """Running means over [burnIn, ii] and their relative-change tolerances.
+
+    trace is 0-based with trace[0] the init (MATLAB index 1).  Returns
+    (mean_trace, tol_trace, eb) with mean_trace of length len-burn_in
+    (MATLAB mean_* arrays) and tol_trace of length len (zeros before the
+    window has ≥2 entries, where MATLAB stores NaN from empty windows).
+    """
+    n = len(trace)
+    window = trace[burn_in - 1 :]
+    cums = np.cumsum(window)
+    counts = np.arange(1, len(window) + 1)
+    running = cums / counts
+    eb = float(running[-1])
+    mean_trace = running[1:]
+    tol = np.zeros(n)
+    prev = running[:-1]
+    cur = running[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.abs(cur - prev) / prev
+    tol[burn_in:] = rel
+    return mean_trace, tol, eb
+
+
+def make_general_sapg_step(
+    model,
+    blur,
+    cfg,
+    sigma_fix: bool,
+    sigma_fix_value: Optional[float],
+    axis_name: Optional[str] = None,
+):
+    """Build the fused per-iteration SAPG step as a pure function of
+    (carry, ii, consts), where `consts` holds the per-problem quantities:
+
+      consts = dict(yhat, gam, lam, sigma2_lo, sigma2_hi, sigma2_init)
+
+    This form vmaps over a batch of problems (data parallelism) and runs
+    under shard_map with `axis_name` naming the chains mesh axis (the
+    per-chain SA statistics are lax.pmean-reduced over it).
+    """
+    sapg = cfg.sapg
+    dtype = blur.dtype
+    d = blur.dim
+    w = blur.weights
+
+    theta_spec = cfg.theta
+    psf_specs = cfg.psf_params
+    psf_names = tuple(s.name for s in psf_specs)
+    d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
+
+    def otfs(params):
+        k, dks = model.kernel_and_grads(params)
+        H = blur.otf(k)
+        dHs = {n: blur.otf(dks[n]) for n in psf_names}
+        return H, dHs
+
+    def pnorm2(Rhat):
+        re, im = Rhat.real, Rhat.imag
+        return jnp.sum(w[None] * (re * re + im * im), axis=(-2, -1)) / d
+
+    def pdot(Ahat, Bhat):
+        return jnp.sum(w[None] * (Ahat * jnp.conj(Bhat)).real, axis=(-2, -1)) / d
+
+    tv_b = jax.vmap(tv_norm)
+
+    def prox_b(X, lam_theta):
+        return jax.vmap(
+            lambda g: chambolle_prox(
+                g,
+                lam_theta,
+                sapg.chambolle_iters,
+                tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol,
+                use_pallas=sapg.use_pallas_prox,
+            )
+        )(X)
+
+    def reduce_stat(s):
+        s = jnp.mean(s)
+        if axis_name is not None:
+            s = jax.lax.pmean(s, axis_name)
+        return s
+
+    def chain_noise(keys, shape):
+        """Per-chain key split + draw — layout-invariant across shardings."""
+        ks = jax.vmap(jax.random.split)(keys)
+        new_keys, subs = ks[:, 0], ks[:, 1]
+        Z = jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(subs)
+        return new_keys, Z
+
+    def step(carry, ii, consts):
+        yhat, gam, lam = consts["yhat"], consts["gam"], consts["lam"]
+        X, Xhat, prox, keys, theta, sigma2, params = carry
+        H, dHs = otfs(params)
+        Rhat = H[None] * Xhat - yhat[None]
+        gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
+
+        keys, Z = chain_noise(keys, X.shape[1:])
+        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
+        proxn, _ = prox_b(Xn, lam * theta)
+
+        Xhatn = jnp.fft.rfft2(Xn)
+        Rn = H[None] * Xhatn - yhat[None]
+        res2 = pnorm2(Rn)
+        tv = tv_b(Xn)
+
+        G_t = reduce_stat(d / theta - tv)
+        G_s = reduce_stat(res2 / (2.0 * sigma2**2) - d / (2.0 * sigma2))
+        G_p = {n: reduce_stat(pdot(dHs[n][None] * Xhatn, Rn) / sigma2) for n in psf_names}
+
+        delta_i = d_scale * ii.astype(dtype) ** (-sapg.d_exp) / d
+        theta_n = theta_spec.clip(theta + theta_spec.step_scale * delta_i * G_t)
+        params_n = {}
+        for s in psf_specs:
+            if s.fix:
+                cand = jnp.asarray(s.true_value, dtype)
+            else:
+                cand = params[s.name] + s.sign * s.step_scale * delta_i * G_p[s.name]
+            params_n[s.name] = s.clip(cand)
+        if sigma_fix:
+            sigma_n = consts["sigma2_init"]
+        else:
+            sigma_n = jnp.clip(
+                sigma2 + cfg.sigma_step_scale * delta_i * G_s,
+                consts["sigma2_lo"],
+                consts["sigma2_hi"],
+            )
+
+        logpi = reduce_stat(-res2 / (2.0 * sigma2) - theta * tv)
+        trace = dict(
+            theta=theta_n,
+            sigma2=sigma_n,
+            logPi=logpi,
+            gX=reduce_stat(tv),
+            G_t=G_t,
+            G_s=G_s,
+            **{f"G_{n}": G_p[n] for n in psf_names},
+            **{n: params_n[n] for n in psf_names},
+        )
+        return (Xn, Xhatn, proxn, keys, theta_n, sigma_n, params_n), trace
+
+    # --- warm-up step: MYULA at the fixed initial hyperparameters ---------
+    # (SAPG_algorithm_Guassian.m:67-93).  The initial params are config
+    # constants, so the warm-up OTF is baked in at build time.
+    theta0_c = jnp.asarray(theta_spec.init, dtype)
+    params0_c = {k: jnp.asarray(v, dtype) for k, v in cfg.init_psf_params().items()}
+    H0_c = blur.otf_host(model.kernel(params0_c))  # host: jit-closure constant
+
+    def warm_step(carry, _, consts):
+        yhat, gam, lam = consts["yhat"], consts["gam"], consts["lam"]
+        sigma0 = consts["sigma2_init"]
+        X, Xhat, prox, keys = carry
+        Rhat = H0_c[None] * Xhat - yhat[None]
+        gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
+        keys, Z = chain_noise(keys, X.shape[1:])
+        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
+        proxn, _ = prox_b(Xn, lam * theta0_c)
+        Xhatn = jnp.fft.rfft2(Xn)
+        res2 = pnorm2(H0_c[None] * Xhatn - yhat[None])
+        logpi = reduce_stat(-res2 / (2.0 * sigma0) - theta0_c * tv_b(Xn))
+        return (Xn, Xhatn, proxn, keys), logpi
+
+    aux = dict(
+        psf_names=psf_names,
+        theta_spec=theta_spec,
+        psf_specs=psf_specs,
+        d_scale=d_scale,
+        prox_b=prox_b,
+        tv_b=tv_b,
+        pnorm2=pnorm2,
+        otfs=otfs,
+        warm_step=warm_step,
+        theta0=theta0_c,
+        params0=params0_c,
+        H0=H0_c,
+    )
+    return step, aux
+
+
+def problem_consts(problem: Problem):
+    """The per-problem constants consumed by the general SAPG step."""
+    return dict(
+        yhat=problem.yhat,
+        gam=problem.gamma,
+        lam=problem.lambda_myula,
+        sigma2_lo=problem.sigma2_box[0],
+        sigma2_hi=problem.sigma2_box[1],
+        sigma2_init=problem.sigma2_init,
+    )
+
+
+def make_sapg_step(problem: Problem, n_chains: int, axis_name: Optional[str] = None):
+    """Per-problem SAPG step: (carry, ii) -> (carry, trace), scan-compatible.
+
+    Thin wrapper over make_general_sapg_step with this problem's constants
+    bound.  Exposed so benchmarks and the multi-chip dry-run can jit exactly
+    the hot loop body."""
+    cfg = problem.cfg
+    sigma_spec = problem.sigma_spec()
+    gstep, aux = make_general_sapg_step(
+        problem.model,
+        problem.blur,
+        cfg,
+        sigma_fix=sigma_spec.fix,
+        sigma_fix_value=sigma_spec.true_value,
+        axis_name=axis_name,
+    )
+    consts = problem_consts(problem)
+
+    def step(carry, ii):
+        return gstep(carry, ii, consts)
+
+    aux = dict(aux, lam=problem.lambda_myula, gam=problem.gamma, sigma_spec=sigma_spec)
+    return step, aux
+
+
+def run_sapg(
+    problem: Problem,
+    key,
+    n_chains: int = 1,
+    axis_name: Optional[str] = None,
+    x0: Optional[jnp.ndarray] = None,
+) -> SAPGResult:
+    """Run warm-up + SAPG and assemble the full diagnostics bundle."""
+    cfg = problem.cfg
+    sapg = cfg.sapg
+    blur = problem.blur
+    dtype = blur.dtype
+    d = problem.dim
+    yhat = problem.yhat
+
+    step, aux = make_sapg_step(problem, n_chains, axis_name)
+    psf_names = aux["psf_names"]
+    prox_b, tv_b, pnorm2 = aux["prox_b"], aux["tv_b"], aux["pnorm2"]
+    lam, gam = aux["lam"], aux["gam"]
+
+    theta0 = jnp.asarray(cfg.theta.init, dtype)
+    sigma0 = jnp.asarray(problem.sigma2_init, dtype)
+    params0 = {k: jnp.asarray(v, dtype) for k, v in cfg.init_psf_params().items()}
+
+    if x0 is None:
+        x0 = problem.y  # op.X0 defaults to y (SAPG_algorithm_Guassian.m:10-12)
+    X0 = jnp.broadcast_to(x0, (n_chains,) + tuple(blur.shape)).astype(dtype)
+
+    H0 = blur.otf_host(problem.model.kernel(params0))
+    consts = problem_consts(problem)
+    warm_step = aux["warm_step"]
+
+    n_warm = max(sapg.warmup - 1, 0)
+    n_main = sapg.samples - 1
+    iis = jnp.arange(2, sapg.samples + 1)
+
+    def _run(X0, key):
+        keys = jax.random.split(key, n_chains)
+        prox0, _ = prox_b(X0, lam * theta0)
+        Xhat0 = jnp.fft.rfft2(X0)
+        carry0 = (X0, Xhat0, prox0, keys)
+        if n_warm > 0:
+            carry0, logpi_wu = jax.lax.scan(
+                lambda c, x: warm_step(c, x, consts), carry0, None, length=n_warm
+            )
+        else:
+            logpi_wu = jnp.zeros((0,), dtype)
+        X, Xhat, prox, keys = carry0
+        # logPiTraceX(1) = logPi at the warm-start sample with the init params
+        res2_0 = pnorm2(H0[None] * Xhat - yhat[None])
+        logpi0 = jnp.mean(-res2_0 / (2.0 * sigma0) - theta0 * tv_b(X))
+        carry = (X, Xhat, prox, keys, theta0, sigma0, params0)
+        carry, traces = jax.lax.scan(step, carry, iis, length=n_main)
+        return carry, logpi_wu, logpi0, traces
+
+    t0 = time.perf_counter()
+    carry, logpi_wu, logpi0, traces = jax.jit(_run)(X0, key)
+    jax.block_until_ready(traces)
+    exec_time = time.perf_counter() - t0
+
+    # ---- host-side post-processing (pure functions of the scalar traces) ----
+    traces = jax.tree_util.tree_map(np.asarray, traces)
+    burn_in = sapg.burn_in_resolved
+
+    def full_trace(name, init_val):
+        return np.concatenate([[init_val], traces[name]])
+
+    thetas = full_trace("theta", cfg.theta.init)
+    sigma2s = full_trace("sigma2", float(problem.sigma2_init))
+    psf_traces = {n: full_trace(n, float(params0[n])) for n in psf_names}
+
+    mean_thetas, tol_thetas, theta_EB = _running_window_stats(thetas, burn_in)
+    mean_sigmas, tol_sigmas, sigma_EB = _running_window_stats(sigma2s, burn_in)
+    mean_psf, tol_psf, psf_EB = {}, {}, {}
+    for n in psf_names:
+        mean_psf[n], tol_psf[n], psf_EB[n] = _running_window_stats(psf_traces[n], burn_in)
+
+    err_psf = _psf_error_trace(problem, psf_traces)
+
+    logPiTrace = np.concatenate([[float(logpi0)], traces["logPi"]])
+    logPiTrace_WU = (
+        np.concatenate([[0.0], np.asarray(logpi_wu)]) if n_warm > 0 else np.zeros(0)
+    )
+    # the reference stores g(X_ii) at index ii-1 and leaves the last slot 0
+    gX = np.concatenate([traces["gX"], [0.0]])
+
+    return SAPGResult(
+        theta_EB=theta_EB,
+        sigma2_EB=sigma_EB,
+        psf_params_EB=psf_EB,
+        thetas=thetas,
+        sigma2s=sigma2s,
+        psf_param_traces=psf_traces,
+        logPiTrace=logPiTrace,
+        logPiTrace_warmup=logPiTrace_WU,
+        gX=gX,
+        grad_theta=np.concatenate([[0.0], traces["G_t"]]),
+        grad_sigma=np.concatenate([[0.0], traces["G_s"]]),
+        grad_psf={n: np.concatenate([[0.0], traces[f"G_{n}"]]) for n in psf_names},
+        mean_thetas=mean_thetas,
+        mean_sigma2s=mean_sigmas,
+        mean_psf=mean_psf,
+        tol_thetas=tol_thetas,
+        tol_sigma2s=tol_sigmas,
+        tol_psf=tol_psf,
+        err_psf=err_psf,
+        X_last=np.asarray(carry[0]),
+        last_samp=sapg.samples,
+        exec_time=exec_time,
+    )
+
+
+def _psf_error_trace(problem: Problem, psf_traces: Dict[str, np.ndarray]) -> np.ndarray:
+    """PSF L2-error trace vs the true kernel, reconstructed from the traces.
+
+    The reference's `l2` is `norm(x-y)^2` on a 7x7 matrix — the MATLAB
+    matrix 2-norm, i.e. the *spectral* norm, squared (utils/l2.m:1-3).
+
+    Per-family index quirks preserved:
+      * gaussian: psf_gaussian(size, w1s(ii), w2s(ii-1)) — new w1, OLD w2
+        (SAPG_algorithm_Guassian.m:203)
+      * laplace:  psf_laplace(size, bs(ii))              (_laplace.m:189)
+      * moffat:   psf_moffat(size, alphas(ii), betas(ii)) (_moffat.m:205)
+    """
+    model = problem.model
+    names = list(psf_traces)
+    T = len(next(iter(psf_traces.values())))
+    args = {}
+    for n in names:
+        args[n] = jnp.asarray(psf_traces[n])
+    if problem.cfg.psf == "gaussian":
+        w2 = np.asarray(psf_traces["w2"])
+        w2_lag = np.concatenate([[w2[0]], w2[:-1]])
+        args["w2"] = jnp.asarray(w2_lag)
+    kernels = jax.vmap(lambda p: model.kernel(p))(args)
+    diffs = kernels - problem.kernel_true[None]
+    svals = jnp.linalg.svd(diffs, compute_uv=False)
+    return np.asarray(svals[:, 0] ** 2)

@@ -1,0 +1,129 @@
+"""SAPG estimator: one-step parity vs the spatial-domain NumPy oracle, plus
+short end-to-end runs for every PSF family."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semiblind_tv_tpu.ops.tv import chambolle_prox
+from semiblind_tv_tpu.runtime import build_problem, gaussian_preset, laplace_preset, moffat_preset
+from semiblind_tv_tpu.sapg import run_sapg
+from semiblind_tv_tpu.sapg.estimator import make_sapg_step
+from semiblind_tv_tpu.utils import synthetic_wheel
+from tests import oracles
+
+SIZE = 32
+
+
+def _image():
+    return synthetic_wheel(SIZE)
+
+
+def test_one_step_matches_spatial_oracle():
+    """The fused rfft/Parseval step must equal the reference's spatial-domain
+    math (A/Aᵀ via full fft2, spatial inner products) to fp accuracy."""
+    cfg = gaussian_preset(fix_w1=False, fix_w2=False, fix_sigma=False)
+    x = _image()
+    key = jax.random.key(7)
+    problem = build_problem(x, cfg, key, dtype=jnp.float64)
+    step, aux = make_sapg_step(problem, n_chains=1)
+
+    theta0 = jnp.float64(cfg.theta.init)
+    sigma0 = problem.sigma2_init
+    params0 = {k: jnp.float64(v) for k, v in cfg.init_psf_params().items()}
+    X0 = problem.y[None]
+    prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
+
+    keys0 = jax.random.split(jax.random.key(3), 1)  # one key per chain
+    carry0 = (X0, jnp.fft.rfft2(X0), prox0, keys0, theta0, sigma0, params0)
+    (X1, _, prox1, _, theta1, sigma1, params1), trace = step(carry0, jnp.asarray(2.0))
+
+    # replicate the per-chain noise draw
+    _, sub = jax.random.split(keys0[0])
+    Z = np.asarray(jax.random.normal(sub, X0.shape[1:], jnp.float64))
+
+    boxes = dict(
+        theta=cfg.theta.box, w1=(0.1, 1.0), w2=(0.1, 1.0),
+        sigma=(float(problem.sigma2_box[0]), float(problem.sigma2_box[1])),
+    )
+    oX1, oprox1, otheta1, ow1, ow2, osigma1, stats = oracles.np_sapg_gaussian_step(
+        np.asarray(problem.y), np.asarray(prox0[0]), Z, np.asarray(problem.y),
+        float(theta0), float(params0["w1"]), float(params0["w2"]), float(sigma0),
+        cfg.psf_size, cfg.phi, float(problem.gamma), float(problem.lambda_myula),
+        1.0, cfg.sapg.d_exp, 2,
+        cfg.theta.step_scale, 10.0, 10.0, cfg.sigma_step_scale,
+        boxes, dict(w1=False, w2=False, sigma=False),
+        dict(w1=0.4, w2=0.3), float(problem.sigma2_init),
+    )
+
+    np.testing.assert_allclose(np.asarray(X1)[0], oX1, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(prox1)[0], oprox1, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(float(theta1), otheta1, rtol=1e-8)
+    np.testing.assert_allclose(float(params1["w1"]), ow1, rtol=1e-8)
+    np.testing.assert_allclose(float(params1["w2"]), ow2, rtol=1e-8)
+    np.testing.assert_allclose(float(sigma1), osigma1, rtol=1e-8)
+    np.testing.assert_allclose(float(trace["G_t"]), stats["G_t"], rtol=1e-8)
+    np.testing.assert_allclose(float(trace["G_w1"]), stats["G_w1"], rtol=1e-6)
+    np.testing.assert_allclose(float(trace["G_s"]), stats["G_s"], rtol=1e-6)
+    np.testing.assert_allclose(float(trace["logPi"]), stats["logPi"], rtol=1e-8)
+
+
+def _short(cfg):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(cfg.sapg, samples=40, warmup=10, burn_in=30),
+    )
+
+
+def _run_family(cfg, n_chains=1):
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+    res = run_sapg(problem, jax.random.key(2), n_chains=n_chains)
+    assert res.thetas.shape == (cfg.sapg.samples,)
+    assert np.all(np.isfinite(res.thetas))
+    assert np.all(np.isfinite(res.logPiTrace))
+    assert np.all(np.isfinite(res.err_psf))
+    lo, hi = cfg.theta.box
+    assert lo <= res.theta_EB <= hi
+    assert res.X_last.shape == (n_chains, SIZE, SIZE)
+    assert np.all(res.X_last >= 0)  # positivity projection
+    assert len(res.logPiTrace_warmup) == cfg.sapg.warmup
+    assert len(res.mean_thetas) == cfg.sapg.samples - cfg.sapg.burn_in_resolved
+    for name, tr in res.psf_param_traces.items():
+        assert np.all(np.isfinite(tr))
+    return res
+
+
+def test_gaussian_short_run():
+    res = _run_family(_short(gaussian_preset(fix_w1=False, fix_w2=False)))
+    assert set(res.psf_params_EB) == {"w1", "w2"}
+
+
+def test_gaussian_fixed_params_stay_true():
+    res = _run_family(_short(gaussian_preset(fix_w1=True, fix_w2=True)))
+    np.testing.assert_allclose(res.psf_param_traces["w1"][1:], 0.4)
+    np.testing.assert_allclose(res.psf_param_traces["w2"][1:], 0.3)
+
+
+def test_laplace_short_run():
+    res = _run_family(_short(laplace_preset()))
+    assert set(res.psf_params_EB) == {"b"}
+
+
+def test_moffat_short_run():
+    res = _run_family(_short(moffat_preset()))
+    assert set(res.psf_params_EB) == {"alpha", "beta"}
+
+
+def test_multi_chain_runs():
+    res = _run_family(_short(gaussian_preset(fix_w1=False, fix_w2=False)), n_chains=3)
+    assert res.X_last.shape[0] == 3
+
+
+def test_fix_sigma():
+    cfg = _short(gaussian_preset(fix_sigma=True))
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+    res = run_sapg(problem, jax.random.key(2))
+    np.testing.assert_allclose(res.sigma2s[1:], float(problem.sigma2_init), rtol=1e-12)

@@ -1,0 +1,78 @@
+"""TV norm and Chambolle prox vs the NumPy oracle (iteration-for-iteration)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semiblind_tv_tpu.ops import tv
+from tests import oracles
+
+
+def test_tv_norm_matches_oracle(rng):
+    x = rng.standard_normal((17, 23))
+    got = tv.tv_norm(jnp.asarray(x))
+    np.testing.assert_allclose(got, oracles.np_tv(x), rtol=1e-12)
+
+
+def test_divergence_gradient_adjointness(rng):
+    """⟨∇u, p⟩ = -⟨u, div p⟩ does NOT hold exactly for the reference's
+    stencils (its divergence last-row convention differs from the exact
+    adjoint) — instead verify both match the oracle."""
+    u = rng.standard_normal((9, 11))
+    p1 = rng.standard_normal((9, 11))
+    p2 = rng.standard_normal((9, 11))
+    np.testing.assert_allclose(
+        tv.divergence(jnp.asarray(p1), jnp.asarray(p2)),
+        oracles._np_div(p1, p2),
+        rtol=1e-12,
+    )
+    gx, gy = tv.forward_gradient(jnp.asarray(u))
+    ox, oy = oracles._np_grad(u)
+    np.testing.assert_allclose(gx, ox, rtol=1e-12)
+    np.testing.assert_allclose(gy, oy, rtol=1e-12)
+
+
+@pytest.mark.parametrize("lam,max_iter", [(0.5, 25), (5.0, 10), (0.05, 25)])
+def test_chambolle_matches_oracle(rng, lam, max_iter):
+    g = 10.0 * rng.standard_normal((24, 24))
+    f, st = tv.chambolle_prox(jnp.asarray(g), lam, max_iter)
+    of, opx, opy, ok, oerr = oracles.np_chambolle(g, lam, max_iter)
+    np.testing.assert_allclose(f, of, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(st.px, opx, rtol=1e-9, atol=1e-10)
+    assert int(st.iters) == ok
+    np.testing.assert_allclose(float(st.err), oerr, rtol=1e-8)
+
+
+def test_chambolle_warm_start_matches_oracle(rng):
+    g = 5.0 * rng.standard_normal((16, 16))
+    _, st1 = tv.chambolle_prox(jnp.asarray(g), 1.0, 10)
+    f2, st2 = tv.chambolle_prox(jnp.asarray(g), 1.0, 10, duals=(st1.px, st1.py))
+    _, px1, py1, _, _ = oracles.np_chambolle(g, 1.0, 10)
+    of2, opx2, _, _, _ = oracles.np_chambolle(g, 1.0, 10, duals=(px1, py1))
+    np.testing.assert_allclose(f2, of2, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(st2.px, opx2, rtol=1e-9, atol=1e-10)
+
+
+def test_chambolle_early_exit(rng):
+    g = 0.01 * rng.standard_normal((8, 8))
+    _, st = tv.chambolle_prox(jnp.asarray(g), 1.0, 50, tol=1e30)
+    assert int(st.iters) == 1  # stops after the mandatory first sweep
+
+
+def test_chambolle_is_a_prox(rng):
+    """prox objective ½||g-f||² + λ TV(f) must not exceed the value at g."""
+    g = jnp.asarray(rng.standard_normal((32, 32)) * 3)
+    lam = 0.8
+    f, _ = tv.chambolle_prox(g, lam, 200)
+    obj_f = 0.5 * jnp.sum((g - f) ** 2) + lam * tv.tv_norm(f)
+    obj_g = lam * tv.tv_norm(g)
+    assert float(obj_f) <= float(obj_g) + 1e-6
+
+
+def test_chambolle_batched_vmap(rng):
+    import jax
+
+    g = rng.standard_normal((3, 12, 12))
+    f_b, st_b = jax.vmap(lambda x: tv.chambolle_prox(x, 0.7, 15))(jnp.asarray(g))
+    for i in range(3):
+        f_i, _ = tv.chambolle_prox(jnp.asarray(g[i]), 0.7, 15)
+        np.testing.assert_allclose(f_b[i], f_i, rtol=1e-9, atol=1e-12)
