@@ -30,9 +30,19 @@ from semiblind_tv_tpu.solvers import salsa_tv
 from semiblind_tv_tpu.utils import load_image
 
 
-def run_demo(cfg, image: np.ndarray, key=None, n_chains: int = 1, dtype=jnp.float32):
+def run_demo(
+    cfg,
+    image: np.ndarray,
+    key=None,
+    n_chains: int = 1,
+    dtype=jnp.float32,
+    solver: str = "salsa",
+):
     """Run the full experiment; returns a results dict mirroring the
-    reference `results` struct plus final metrics."""
+    reference `results` struct plus final metrics.
+
+    solver: 'salsa' (reference demos) or 'fista' (reference my_deblur_fista
+    legacy path) for the MAP solve."""
     if key is None:
         key = jax.random.key(cfg.seed)
     k_prob, k_sapg = jax.random.split(key)
@@ -50,19 +60,34 @@ def run_demo(cfg, image: np.ndarray, key=None, n_chains: int = 1, dtype=jnp.floa
     # tau = theta_EB * sigma2_EB, mu = theta_EB/10
     H_EB = problem.blur.otf_host(problem.model.kernel(params_EB))
     t0 = time.perf_counter()
-    salsa = salsa_tv(
-        problem.y,
-        H_EB,
-        tau=theta_EB * sigma2_EB,
-        mu=theta_EB * cfg.salsa.mu_factor,
-        blur=problem.blur,
-        max_iter=cfg.salsa.outer_iters,
-        tol=cfg.salsa.tol,
-        tv_iters=cfg.salsa.tv_iters,
-        stop_criterion=cfg.salsa.stop_criterion,
-        x_true=problem.x_true,
-        use_pallas=cfg.salsa.use_pallas_prox,
-    )
+    if solver == "fista":
+        from semiblind_tv_tpu.solvers import fista_tv
+
+        salsa = fista_tv(
+            problem.y,
+            H_EB,
+            tau=theta_EB * sigma2_EB,
+            blur=problem.blur,
+            tv_iters=cfg.salsa.tv_iters,
+            max_iter=cfg.salsa.outer_iters,
+            tol=cfg.salsa.tol,
+            x_true=problem.x_true,
+        )
+        salsa.op_counts = {"A": 2 * salsa.n_iters, "AT": salsa.n_iters}
+    else:
+        salsa = salsa_tv(
+            problem.y,
+            H_EB,
+            tau=theta_EB * sigma2_EB,
+            mu=theta_EB * cfg.salsa.mu_factor,
+            blur=problem.blur,
+            max_iter=cfg.salsa.outer_iters,
+            tol=cfg.salsa.tol,
+            tv_iters=cfg.salsa.tv_iters,
+            stop_criterion=cfg.salsa.stop_criterion,
+            x_true=problem.x_true,
+            use_pallas=cfg.salsa.use_pallas_prox,
+        )
     salsa_time = time.perf_counter() - t0
 
     x_map = salsa.x
@@ -153,6 +178,8 @@ def main(argv=None):
     p.add_argument("--f64", action="store_true")
     p.add_argument("--out", default=None)
     p.add_argument("--plots", action="store_true")
+    p.add_argument("--solver", choices=["salsa", "fista"], default="salsa",
+                   help="MAP solver: salsa (demos) or fista (legacy my_deblur_fista)")
     p.add_argument("--no-fix-w", action="store_true",
                    help="gaussian: estimate w1/w2 instead of pinning to truth")
     args = p.parse_args(argv)
@@ -176,7 +203,9 @@ def main(argv=None):
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     image = load_image(args.image, args.image_dir, size=args.size)
-    results, sapg, salsa, problem = run_demo(cfg, image, n_chains=args.chains, dtype=dtype)
+    results, sapg, salsa, problem = run_demo(
+        cfg, image, n_chains=args.chains, dtype=dtype, solver=args.solver
+    )
 
     print(json.dumps(results, indent=2))
     if args.out:

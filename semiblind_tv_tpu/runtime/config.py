@@ -50,6 +50,13 @@ class SAPGConfig:
     gamma_scale: float = 1.0        # c.gam (run_Gaussian_demo.m:39)
     use_pallas_prox: bool = False   # Pallas Chambolle kernel for the hot loop
     track_traces: bool = True       # record per-iteration diagnostics
+    theta_log_scale: bool = False   # SAPG Algorithm-1 style eta=log(theta)
+                                    # updates (SALSA/SAPG_algorithm_1.m:180-182);
+                                    # the live demos use the linear scale
+    positivity: bool = True         # abs() projection in the MYULA step
+                                    # (SAPG_algorithm_Guassian.m:161); the
+                                    # legacy Algorithm-1 sampler omits it
+                                    # (SALSA/SAPG_algorithm_1.m:173-174)
 
     @property
     def burn_in_resolved(self) -> int:

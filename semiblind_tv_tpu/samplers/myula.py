@@ -22,11 +22,15 @@ from semiblind_tv_tpu.ops.tv import chambolle_prox
 __all__ = ["myula_kernel_step", "myula_sampler"]
 
 
-def myula_kernel_step(x, prox_cache, grad_f, gamma, lam, noise):
-    """The pure MYULA update given a cached prox and a precomputed gradient."""
-    return jnp.abs(
+def myula_kernel_step(x, prox_cache, grad_f, gamma, lam, noise, positivity: bool = True):
+    """The pure MYULA update given a cached prox and a precomputed gradient.
+
+    positivity=False gives the legacy Algorithm-1 sampler without the abs()
+    projection (SALSA/SAPG_algorithm_1.m:173-174)."""
+    xn = (
         x + gamma * (prox_cache - x) / lam - gamma * grad_f + jnp.sqrt(2.0 * gamma) * noise
     )
+    return jnp.abs(xn) if positivity else xn
 
 
 def myula_sampler(

@@ -89,19 +89,24 @@ class SAPGResult:
         return float(self.thetas[-1])
 
 
-def _running_window_stats(trace: np.ndarray, burn_in: int):
+def _running_window_stats(trace: np.ndarray, burn_in: int, log_scale: bool = False):
     """Running means over [burnIn, ii] and their relative-change tolerances.
 
     trace is 0-based with trace[0] the init (MATLAB index 1).  Returns
     (mean_trace, tol_trace, eb) with mean_trace of length len-burn_in
     (MATLAB mean_* arrays) and tol_trace of length len (zeros before the
     window has ≥2 entries, where MATLAB stores NaN from empty windows).
+
+    log_scale: average in eta = log(theta) space and exponentiate — the
+    Algorithm-1 EB estimate exp(mean(eta)) (SALSA/SAPG_algorithm_1.m:227).
     """
     n = len(trace)
-    window = trace[burn_in - 1 :]
+    window = np.log(trace[burn_in - 1 :]) if log_scale else trace[burn_in - 1 :]
     cums = np.cumsum(window)
     counts = np.arange(1, len(window) + 1)
     running = cums / counts
+    if log_scale:
+        running = np.exp(running)
     eb = float(running[-1])
     mean_trace = running[1:]
     tol = np.zeros(n)
@@ -188,7 +193,7 @@ def make_general_sapg_step(
         gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
 
         keys, Z = chain_noise(keys, X.shape[1:])
-        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
+        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
         proxn, _ = prox_b(Xn, lam * theta)
 
         Xhatn = jnp.fft.rfft2(Xn)
@@ -201,7 +206,18 @@ def make_general_sapg_step(
         G_p = {n: reduce_stat(pdot(dHs[n][None] * Xhatn, Rn) / sigma2) for n in psf_names}
 
         delta_i = d_scale * ii.astype(dtype) ** (-sapg.d_exp) / d
-        theta_n = theta_spec.clip(theta + theta_spec.step_scale * delta_i * G_t)
+        if sapg.theta_log_scale:
+            # Algorithm-1: eta = log(theta), eta += delta * G_t * exp(eta),
+            # clipped in eta-space (SALSA/SAPG_algorithm_1.m:180-182)
+            eta = jnp.log(theta)
+            eta_n = jnp.clip(
+                eta + theta_spec.step_scale * delta_i * G_t * theta,
+                jnp.log(theta_spec.box[0]),
+                jnp.log(theta_spec.box[1]),
+            )
+            theta_n = jnp.exp(eta_n)
+        else:
+            theta_n = theta_spec.clip(theta + theta_spec.step_scale * delta_i * G_t)
         params_n = {}
         for s in psf_specs:
             if s.fix:
@@ -377,7 +393,9 @@ def run_sapg(
     sigma2s = full_trace("sigma2", float(problem.sigma2_init))
     psf_traces = {n: full_trace(n, float(params0[n])) for n in psf_names}
 
-    mean_thetas, tol_thetas, theta_EB = _running_window_stats(thetas, burn_in)
+    mean_thetas, tol_thetas, theta_EB = _running_window_stats(
+        thetas, burn_in, log_scale=sapg.theta_log_scale
+    )
     mean_sigmas, tol_sigmas, sigma_EB = _running_window_stats(sigma2s, burn_in)
     mean_psf, tol_psf, psf_EB = {}, {}, {}
     for n in psf_names:
