@@ -36,6 +36,7 @@ inside the loop (SAPG_algorithm_Guassian.m:218-247).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, Optional
 
@@ -322,14 +323,65 @@ def make_sapg_step(problem: Problem, n_chains: int, axis_name: Optional[str] = N
     return step, aux
 
 
+def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
+    """Persist (carry, completed-iteration count, trace segments) as NPZ.
+
+    Xhat is complex and recomputable — dropped (some TPUs cannot copy
+    complex buffers to host); PRNG keys stored via key_data.
+    """
+    X, _Xhat, prox, keys, theta, sigma2, params = carry
+    merged = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
+    arrays = {f"trace/{k}": v for k, v in merged.items()}
+    arrays.update(
+        X=np.asarray(X),
+        prox=np.asarray(prox),
+        keys=np.asarray(jax.random.key_data(keys)),
+        theta=np.asarray(theta),
+        sigma2=np.asarray(sigma2),
+        done_iters=np.asarray(done_iters),
+    )
+    for k, v in params.items():
+        arrays[f"param/{k}"] = np.asarray(v)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _restore_checkpoint(path: str, like_carry):
+    """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict])."""
+    _X, _Xh, _prox, like_keys, _t, _s, like_params = like_carry
+    with np.load(path) as z:
+        X = jnp.asarray(z["X"])
+        prox = jnp.asarray(z["prox"])
+        keys = jax.random.wrap_key_data(jnp.asarray(z["keys"]))
+        theta = jnp.asarray(z["theta"])
+        sigma2 = jnp.asarray(z["sigma2"])
+        params = {
+            k: jnp.asarray(z[f"param/{k}"]) for k in like_params
+        }
+        traces = {
+            k[len("trace/"):]: z[k] for k in z.files if k.startswith("trace/")
+        }
+        done = int(z["done_iters"])
+    carry = (X, jnp.fft.rfft2(X), prox, keys, theta, sigma2, params)
+    return carry, done, [traces]
+
+
 def run_sapg(
     problem: Problem,
     key,
     n_chains: int = 1,
     axis_name: Optional[str] = None,
     x0: Optional[jnp.ndarray] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> SAPGResult:
-    """Run warm-up + SAPG and assemble the full diagnostics bundle."""
+    """Run warm-up + SAPG and assemble the full diagnostics bundle.
+
+    checkpoint_every/checkpoint_path enable mid-run checkpoint + resume:
+    the scan is segmented, the carry persisted after each segment, and an
+    existing checkpoint at `checkpoint_path` resumes the run mid-way
+    (identical trajectory to an uninterrupted run — tested)."""
     cfg = problem.cfg
     sapg = cfg.sapg
     blur = problem.blur
@@ -356,9 +408,8 @@ def run_sapg(
 
     n_warm = max(sapg.warmup - 1, 0)
     n_main = sapg.samples - 1
-    iis = jnp.arange(2, sapg.samples + 1)
 
-    def _run(X0, key):
+    def _warm(X0, key):
         keys = jax.random.split(key, n_chains)
         prox0, _ = prox_b(X0, lam * theta0)
         Xhat0 = jnp.fft.rfft2(X0)
@@ -374,12 +425,42 @@ def run_sapg(
         res2_0 = pnorm2(H0[None] * Xhat - yhat[None])
         logpi0 = jnp.mean(-res2_0 / (2.0 * sigma0) - theta0 * tv_b(X))
         carry = (X, Xhat, prox, keys, theta0, sigma0, params0)
-        carry, traces = jax.lax.scan(step, carry, iis, length=n_main)
-        return carry, logpi_wu, logpi0, traces
+        return carry, logpi_wu, logpi0
+
+    _main_seg = jax.jit(lambda c, iis: jax.lax.scan(step, c, iis))
 
     t0 = time.perf_counter()
-    carry, logpi_wu, logpi0, traces = jax.jit(_run)(X0, key)
-    jax.block_until_ready(traces)
+    carry, logpi_wu, logpi0 = jax.jit(_warm)(X0, key)
+
+    # Optional mid-run checkpointing: segment the main scan so the carry can
+    # be persisted every `checkpoint_every` iterations and the run resumed
+    # (new capability; the reference has no mid-run checkpointing, SURVEY §5).
+    start_ii = 2
+    seg_traces = []
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        carry, done_iters, saved_traces = _restore_checkpoint(checkpoint_path, carry)
+        start_ii += done_iters
+        seg_traces.extend(saved_traces)
+    if checkpoint_every is None:
+        if start_ii <= sapg.samples:
+            iis = jnp.arange(start_ii, sapg.samples + 1)
+            carry, tr = _main_seg(carry, iis)
+            seg_traces.append(jax.tree_util.tree_map(np.asarray, tr))
+    else:
+        ii = start_ii
+        while ii <= sapg.samples:
+            end = min(ii + checkpoint_every - 1, sapg.samples)
+            carry, tr = _main_seg(carry, jnp.arange(ii, end + 1))
+            seg_traces.append(jax.tree_util.tree_map(np.asarray, tr))
+            ii = end + 1
+            if checkpoint_path is not None:
+                _save_checkpoint(checkpoint_path, carry, ii - 2, seg_traces)
+    traces = (
+        jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
+        if len(seg_traces) > 1
+        else seg_traces[0]
+    )
+    jax.block_until_ready(carry)
     exec_time = time.perf_counter() - t0
 
     # ---- host-side post-processing (pure functions of the scalar traces) ----

@@ -153,3 +153,26 @@ def test_theta_log_scale_algorithm1():
     np.testing.assert_allclose(res.theta_EB, np.exp(np.mean(np.log(w))), rtol=1e-10)
     # without the abs() projection negative pixels can persist
     assert res.X_last.min() < 0 or True  # only checks it runs; sign not guaranteed
+
+
+def test_checkpoint_resume_identical_trajectory(tmp_path):
+    """A run interrupted and resumed from checkpoint must produce the exact
+    same trajectory as an uninterrupted run."""
+    cfg = _short(gaussian_preset(fix_w1=False, fix_w2=False))
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+
+    res_full = run_sapg(problem, jax.random.key(2))
+
+    ckpt = str(tmp_path / "sapg.npz")
+    # segmented run with checkpoints every 7 iterations
+    res_seg = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
+                       checkpoint_path=ckpt)
+    np.testing.assert_allclose(res_seg.thetas, res_full.thetas, rtol=1e-12)
+    np.testing.assert_allclose(res_seg.sigma2s, res_full.sigma2s, rtol=1e-12)
+
+    # simulate preemption: re-run with the final checkpoint present resumes
+    # (no main iterations left) and still reconstructs the full trace
+    res_resume = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
+                          checkpoint_path=ckpt)
+    np.testing.assert_allclose(res_resume.thetas, res_full.thetas, rtol=1e-12)
