@@ -101,6 +101,35 @@ class LaplacePsfModel(PsfModel):
         return k, {"b": db}
 
 
+class IsotropicGaussianPsfModel(PsfModel):
+    """Isotropic Gaussian with a single unknown width `w` (w1 = w2 = w).
+
+    Capability of the reference's SIAM 4.2.1 experiment
+    (`SALSA/run_deblur_tv.m` — known-shape kernel, unknown width `to`);
+    that driver is broken as shipped (its `fftkernel_f`/`dif_fftkernel_f`
+    have no files in the repo), so this family reconstructs the intended
+    model: dk/dw = ∂k/∂w1 + ∂k/∂w2 evaluated at w1 = w2 = w.
+    """
+
+    name = "isotropic_gaussian"
+    param_names = ("w",)
+
+    def __init__(self, size: int, phi: float = 0.0, dtype=jnp.float32):
+        super().__init__(size, dtype)
+        self.phi = phi
+
+    def kernel(self, params):
+        w = params["w"]
+        return psf_ops.gaussian_kernel(self.size, w, w, self.phi, self.dtype)
+
+    def kernel_and_grads(self, params):
+        w = params["w"]
+        k, dw1, dw2 = psf_ops.gaussian_kernel_grads(
+            self.size, w, w, self.phi, self.dtype
+        )
+        return k, {"w": dw1 + dw2}
+
+
 class MoffatPsfModel(PsfModel):
     """Moffat PSF with unknown (alpha, beta) (utils/psf_moffat.m, diff_moffat_*.m)."""
 

@@ -138,6 +138,17 @@ class BlurOperator:
     def otf(self, kernel: jnp.ndarray) -> jnp.ndarray:
         return otf_rfft(kernel, self.shape, self.factors)
 
+    def otf_batched(self, kernels: jnp.ndarray) -> jnp.ndarray:
+        """OTFs of a stack of kernels (B, s, s) -> (B, M, N//2+1) in ONE
+        batched complex matmul pair (the SAPG step needs the PSF and all its
+        parameter-gradient kernels every iteration; batching them saves
+        2(B-1) small kernel launches per step)."""
+        Fx, Fy = self.factors
+        hp = jax.lax.Precision.HIGHEST
+        k = kernels.astype(jnp.asarray(Fx).dtype)
+        left = jnp.einsum("sm,bst->bmt", jnp.asarray(Fx), k, precision=hp)
+        return jnp.einsum("bmt,tn->bmn", left, jnp.asarray(Fy), precision=hp)
+
     def otf_host(self, kernel) -> "np.ndarray":
         """OTF computed host-side (NumPy, f64) and returned as a NumPy array.
 

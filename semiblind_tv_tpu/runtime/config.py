@@ -23,6 +23,7 @@ __all__ = [
     "gaussian_preset",
     "laplace_preset",
     "moffat_preset",
+    "isotropic_preset",
     "preset",
 ]
 
@@ -172,10 +173,33 @@ def moffat_preset(
     )
 
 
+def isotropic_preset(
+    fix_w: bool = False, w: float = 0.5, **overrides
+) -> DemoConfig:
+    """SIAM 4.2.1 capability (SALSA/run_deblur_tv.m intent): isotropic
+    Gaussian with one unknown width, Algorithm-1 style SAPG (log-theta,
+    no positivity projection), sigma² pinned."""
+    return DemoConfig(
+        psf="isotropic_gaussian",
+        theta=ParamSpec("theta", init=0.01, box=(1e-3, 1.0), step_scale=1.0, sign=+1.0),
+        sigma_step_scale=0.0,
+        fix_sigma=True,
+        psf_params=(
+            ParamSpec("w", init=0.8, box=(0.1, 2.0), step_scale=1.0, fix=fix_w, true_value=w),
+        ),
+        sapg=SAPGConfig(
+            lambda_max=2.0, lipschitz_agg="min",
+            theta_log_scale=True, positivity=False,
+        ),
+        **overrides,
+    )
+
+
 _PRESETS = {
     "gaussian": gaussian_preset,
     "laplace": laplace_preset,
     "moffat": moffat_preset,
+    "isotropic_gaussian": isotropic_preset,
 }
 
 

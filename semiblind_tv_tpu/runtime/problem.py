@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from semiblind_tv_tpu.models.psf_models import (
     GaussianPsfModel,
+    IsotropicGaussianPsfModel,
     LaplacePsfModel,
     MoffatPsfModel,
     ParamSpec,
@@ -43,6 +44,8 @@ def make_psf_model(cfg: DemoConfig, dtype=jnp.float32) -> PsfModel:
         return LaplacePsfModel(cfg.psf_size, dtype)
     if cfg.psf == "moffat":
         return MoffatPsfModel(cfg.psf_size, dtype)
+    if cfg.psf == "isotropic_gaussian":
+        return IsotropicGaussianPsfModel(cfg.psf_size, cfg.phi, dtype)
     raise ValueError(f"unknown psf family: {cfg.psf!r}")
 
 

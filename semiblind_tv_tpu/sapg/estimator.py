@@ -148,9 +148,9 @@ def make_general_sapg_step(
 
     def otfs(params):
         k, dks = model.kernel_and_grads(params)
-        H = blur.otf(k)
-        dHs = {n: blur.otf(dks[n]) for n in psf_names}
-        return H, dHs
+        stack = jnp.stack([k] + [dks[n] for n in psf_names])
+        Hs = blur.otf_batched(stack)  # one batched matmul pair for all OTFs
+        return Hs[0], {n: Hs[i + 1] for i, n in enumerate(psf_names)}
 
     def pnorm2(Rhat):
         re, im = Rhat.real, Rhat.imag

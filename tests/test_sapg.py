@@ -87,7 +87,8 @@ def _run_family(cfg, n_chains=1):
     lo, hi = cfg.theta.box
     assert lo <= res.theta_EB <= hi
     assert res.X_last.shape == (n_chains, SIZE, SIZE)
-    assert np.all(res.X_last >= 0)  # positivity projection
+    if cfg.sapg.positivity:
+        assert np.all(res.X_last >= 0)  # positivity projection
     assert len(res.logPiTrace_warmup) == cfg.sapg.warmup
     assert len(res.mean_thetas) == cfg.sapg.samples - cfg.sapg.burn_in_resolved
     for name, tr in res.psf_param_traces.items():
@@ -176,3 +177,20 @@ def test_checkpoint_resume_identical_trajectory(tmp_path):
     res_resume = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
                           checkpoint_path=ckpt)
     np.testing.assert_allclose(res_resume.thetas, res_full.thetas, rtol=1e-12)
+
+
+def test_isotropic_gaussian_family():
+    """SIAM 4.2.1 capability: single-width isotropic Gaussian with
+    Algorithm-1 SAPG (run_deblur_tv.m intent; that driver is broken in the
+    reference)."""
+    from semiblind_tv_tpu.runtime import isotropic_preset
+
+    res = _run_family(_short(isotropic_preset()))
+    assert set(res.psf_params_EB) == {"w"}
+    # isotropic grad = dw1 + dw2 at w1=w2=w — cross-check vs autodiff
+    from semiblind_tv_tpu.models import IsotropicGaussianPsfModel
+
+    m = IsotropicGaussianPsfModel(7, dtype=jnp.float64)
+    _, g = m.kernel_and_grads({"w": jnp.float64(0.5)})
+    jac = jax.jacfwd(lambda w: m.kernel({"w": w}))(jnp.float64(0.5))
+    np.testing.assert_allclose(g["w"], jac, rtol=1e-9, atol=1e-12)
