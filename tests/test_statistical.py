@@ -1,0 +1,55 @@
+"""Statistical EB-recovery integration test (SURVEY §4 strategy (b)).
+
+The reference's own quality control is convergence of the EB estimates
+toward truth on seeded synthetic problems.  RNG streams differ from MATLAB
+(SURVEY §7 risks), so parity is statistical: with the full reference
+iteration budget on a 64² problem, assert the estimates land in tolerance
+bands around truth and the MAP solve beats the observation by a clear
+margin.  Runs in ~40 s on CPU (f32).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semiblind_tv_tpu import metrics
+from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+from semiblind_tv_tpu.sapg import run_sapg
+from semiblind_tv_tpu.solvers import salsa_tv
+from semiblind_tv_tpu.utils import synthetic_wheel
+
+
+def test_gaussian_demo_eb_recovery_and_map_quality():
+    cfg = gaussian_preset()  # reference defaults: w1/w2 pinned, estimate θ and σ²
+    cfg = dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(
+            cfg.sapg, samples=20_000, warmup=15_000, burn_in=16_000
+        ),
+    )
+    problem = build_problem(synthetic_wheel(64), cfg, jax.random.key(11), dtype=jnp.float32)
+    res = run_sapg(problem, jax.random.key(12))
+
+    sigma2_true = float(problem.sigma_true) ** 2
+    sigma2_init = float(problem.sigma2_init)
+    # σ² must move most of the way from its (far) init toward truth
+    log_dist_init = abs(np.log(sigma2_init) - np.log(sigma2_true))
+    log_dist_eb = abs(np.log(res.sigma2_EB) - np.log(sigma2_true))
+    assert log_dist_eb < 0.45 * log_dist_init, (res.sigma2_EB, sigma2_true, sigma2_init)
+    # θ lands in the physically sensible band the reference demos report
+    assert 1e-3 < res.theta_EB < 0.1
+
+    H = problem.blur.otf_host(
+        problem.model.kernel({k: jnp.float32(v) for k, v in res.psf_params_EB.items()})
+    )
+    sal = salsa_tv(
+        problem.y, H, res.theta_EB * res.sigma2_EB, res.theta_EB / 10.0,
+        problem.blur, max_iter=500, tol=1e-5, tv_iters=10, x_true=problem.x_true,
+    )
+    mse_map = float(metrics.mse_db(problem.x_true, jnp.asarray(sal.x)))
+    mse_obs = float(metrics.mse_db(problem.x_true, problem.y))
+    assert mse_map < mse_obs - 2.5  # ≥2.5 dB deblurring gain
+    ssim_map = float(metrics.ssim(problem.x_true, jnp.asarray(sal.x)))
+    ssim_obs = float(metrics.ssim(problem.x_true, problem.y))
+    assert ssim_map > ssim_obs + 0.1
