@@ -44,7 +44,7 @@ def bench_tpu():
     X0 = jnp.broadcast_to(problem.y, (N_CHAINS, SIZE, SIZE))
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
     keys = jax.random.split(jax.random.key(1), N_CHAINS)
-    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0)
+    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
 
     @jax.jit
     def run(carry):

@@ -134,8 +134,11 @@ def build_sharded_sapg(
     )
     def sharded_step(state, consts_l, ii):
         def one(X, Xhat, prox, keys, theta, sigma2, params, consts_d):
-            carry = (X, Xhat, prox, keys, theta, sigma2, params)
-            return gstep(carry, ii, consts_d)
+            carry = (X, Xhat, prox, keys, theta, sigma2, params, {})
+            (Xn, Xhatn, proxn, keysn, thetan, sigman, paramsn, _), trace = gstep(
+                carry, ii, consts_d
+            )
+            return (Xn, Xhatn, proxn, keysn, thetan, sigman, paramsn), trace
 
         (Xn, Xhatn, proxn, keysn, thetan, sigman, paramsn), trace = jax.vmap(one)(
             state["X"], state["Xhat"], state["prox"], state["keys"],

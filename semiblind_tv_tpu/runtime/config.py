@@ -58,6 +58,14 @@ class SAPGConfig:
                                     # (SAPG_algorithm_Guassian.m:161); the
                                     # legacy Algorithm-1 sampler omits it
                                     # (SALSA/SAPG_algorithm_1.m:173-174)
+    sigma_log_scale: bool = False   # EXTENSION: log-space sigma² SA updates
+                                    # (geometric-mean EB); off = reference
+                                    # linear updates
+    track_posterior_moments: bool = False  # EXTENSION: Welford running
+                                    # posterior mean/variance of X over the
+                                    # post-burn-in samples (the reference's
+                                    # commented-out `weldford`/`posteriormean`
+                                    # intent, SAPG_algorithm_Guassian.m:233-247,292)
 
     @property
     def burn_in_resolved(self) -> int:

