@@ -64,8 +64,18 @@ def load_image(name: str, image_dir: Optional[str] = None, size: int = 512) -> n
     )
 
 
-def synthetic_wheel(size: int = 512, n_spokes: int = 36) -> np.ndarray:
-    """Deterministic spoked-wheel resolution phantom in [0, 255]."""
+def synthetic_wheel(size: int = 512, n_spokes: int = 36, soften: float = 1.2) -> np.ndarray:
+    """Deterministic spoked-wheel resolution phantom in [0, 255].
+
+    `soften` applies a mild optical-softness blur (std in absolute pixels —
+    the 7×7 PSF is size-independent) plus low-amplitude deterministic texture so the
+    phantom's gradient statistics resemble a *photographed* chart (like the
+    reference's wheel.png) rather than a binary mask.  Razor-sharp binary
+    edges are adversarial for semi-blind PSF estimation — the posterior
+    stays sharp and the kernel-width gradient biases toward no-blur — which
+    is an image-property, not an implementation property (pass soften=0 to
+    reproduce it).
+    """
     c = (size - 1) / 2.0
     yy, xx = np.mgrid[0:size, 0:size]
     dx, dy = xx - c, yy - c
@@ -80,4 +90,14 @@ def synthetic_wheel(size: int = 512, n_spokes: int = 36) -> np.ndarray:
     hub = 0.06 * size
     img[r < hub] = 1.0
     img[r < 0.5 * hub] = 0.0
+    if soften > 0:
+        from scipy.ndimage import gaussian_filter
+
+        img = gaussian_filter(img, soften, mode="wrap")
+        # deterministic low-amplitude texture (smooth harmonics)
+        tex = 0.04 * (
+            np.sin(2 * np.pi * 7 * xx / size) * np.sin(2 * np.pi * 5 * yy / size)
+            + 0.5 * np.sin(2 * np.pi * 13 * (xx + yy) / size)
+        )
+        img = np.clip(img + tex, 0.0, 1.0)
     return (255.0 * img).astype(np.float64)
