@@ -32,7 +32,13 @@ def bench_tpu():
     from semiblind_tv_tpu.sapg.estimator import make_sapg_step
     from semiblind_tv_tpu.utils import synthetic_wheel
 
+    import dataclasses
+
     cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    if os.environ.get("BENCH_FUSED", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, sapg=dataclasses.replace(cfg.sapg, use_fused_step=True)
+        )
     problem = build_problem(
         synthetic_wheel(SIZE), cfg, jax.random.key(0), dtype=jnp.float32
     )

@@ -198,13 +198,26 @@ def make_general_sapg_step(
         gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
 
         keys, Z = chain_noise(keys, X.shape[1:])
-        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
-        proxn, _ = prox_b(Xn, lam * theta)
+        if sapg.use_fused_step:
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+
+            Xn, proxn, tv = jax.vmap(
+                lambda xx, pp, gg, zz: myula_prox_tv(
+                    xx, pp, gg, zz, gam, lam, lam * theta,
+                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                    tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                )
+            )(X, prox, gradF, Z)
+        else:
+            Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
+            proxn, _ = prox_b(Xn, lam * theta)
+            tv = None
 
         Xhatn = jnp.fft.rfft2(Xn)
         Rn = H[None] * Xhatn - yhat[None]
         res2 = pnorm2(Rn)
-        tv = tv_b(Xn)
+        if tv is None:
+            tv = tv_b(Xn)
 
         G_t = reduce_stat(d / theta - tv)
         G_s = reduce_stat(res2 / (2.0 * sigma2**2) - d / (2.0 * sigma2))
