@@ -81,6 +81,9 @@ def main(argv=None):
     p.add_argument("--theta-max", type=float, default=None)
     p.add_argument("--no-sapg", action="store_true",
                    help="sweep only (uses true sigma^2, skips EB estimation)")
+    p.add_argument("--sigma-grid", type=int, default=0,
+                   help="also sweep sigma^2 over N log-spaced points "
+                        "(salsa_m_sigma.m capability)")
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -121,6 +124,25 @@ def main(argv=None):
     if theta_EB is not None:
         eb_mses, _, _ = oracle_sweep(problem, [theta_EB], sigma2, cfg.salsa)
         out["eb_mse_db"] = float(eb_mses[0])
+
+    if args.sigma_grid > 0:
+        # σ² sweep at the best theta (salsa_m_sigma.m:196-234 capability):
+        # tau = theta * sigma2 over a log-grid spanning the BSNR-derived box
+        th = out.get("theta_EB") or oracle_theta
+        s_lo, s_hi = (float(problem.sigma2_box[0]), float(problem.sigma2_box[1]))
+        sgrid = np.exp(np.linspace(np.log(s_lo), np.log(s_hi), args.sigma_grid))
+        smses = []
+        for s2 in sgrid:
+            m, _, _ = oracle_sweep(problem, [th], float(s2), cfg.salsa)
+            smses.append(float(m[0]))
+        i = int(np.argmin(smses))
+        out.update(
+            sigma2_grid=[float(s) for s in sgrid],
+            sigma2_mse_db_curve=smses,
+            oracle_sigma2=float(sgrid[i]),
+            oracle_sigma2_mse_db=smses[i],
+            sigma2_true=float(problem.sigma_true) ** 2,
+        )
     print(json.dumps(out, indent=2))
     return out
 

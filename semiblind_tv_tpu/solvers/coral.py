@@ -130,21 +130,87 @@ def coral(
 
 def coral_tv_l1(
     y, H, tau_tv, tau_l1, blur, mu1=1e-3, mu2=1e-3, tv_iters=10,
-    max_iter=200, tol=1e-4, x_true=None,
+    max_iter=200, tol=1e-4, x_true=None, tv_warm_start=False,
 ):
     """TV + L1 compound regularization (the canonical CoRAL configuration).
 
-    Note: the TV leg is NOT dual-warm-started across outer iterations here
-    (unlike salsa_tv) — matching the reference default when
-    TVINITIALIZATION is unset for CoRAL; enable by swapping in a stateful
-    prox if needed."""
+    tv_warm_start=True carries the Chambolle dual variables across outer
+    iterations (the reference's TVINITIALIZATION leg, CoRAL_v2.m:401-403);
+    False matches the reference default of a cold prox per iteration."""
+    if not tv_warm_start:
 
-    def prox_tv(vv, t):
-        f, _ = chambolle_prox(vv, t, tv_iters)
-        return f
+        def prox_tv(vv, t):
+            f, _ = chambolle_prox(vv, t, tv_iters)
+            return f
 
-    return coral(
-        y, H, tau_tv, tau_l1, blur,
-        prox_tv, tv_norm, soft_threshold, l1_norm,
-        mu1=mu1, mu2=mu2, max_iter=max_iter, tol=tol, x_true=x_true,
+        return coral(
+            y, H, tau_tv, tau_l1, blur,
+            prox_tv, tv_norm, soft_threshold, l1_norm,
+            mu1=mu1, mu2=mu2, max_iter=max_iter, tol=tol, x_true=x_true,
+        )
+
+    # warm-started variant: thread the duals through a host-side closure is
+    # impossible inside scan, so wrap coral's generic prox with a stateful
+    # pair carried in a mutable cell updated via jax.lax side-band — instead
+    # we inline a dedicated loop reusing coral's machinery with extra carry.
+    return _coral_tv_l1_warm(
+        y, H, tau_tv, tau_l1, blur, mu1, mu2, tv_iters, max_iter, tol, x_true
+    )
+
+
+def _coral_tv_l1_warm(y, H, tau1, tau2, blur, mu1, mu2, tv_iters, max_iter, tol, x_true):
+    import numpy as np
+
+    dtype = blur.dtype
+    y = jnp.asarray(y, dtype)
+    d = y.size
+    w = blur.weights
+    H = np.asarray(H)
+    yhat = blur.rfft_host(y)
+    ATy_hat = np.conj(H) * yhat
+    mu = mu1 + mu2
+    inv_filter = (1.0 / (H.real**2 + H.imag**2 + mu)).astype(np.float32 if dtype == jnp.float32 else np.float64)
+    th1, th2 = tau1 / mu1, tau2 / mu2
+    compute_mse = x_true is not None
+    xt = jnp.asarray(x_true, dtype) if compute_mse else None
+
+    def pnorm2(rhat):
+        re, im = rhat.real, rhat.imag
+        return jnp.sum(w * (re * re + im * im)) / d
+
+    def body(carry, k):
+        x, u, bu, v, bv, pux, puy, prev_obj, done, n_done = carry
+        active = jnp.logical_not(done)
+        un, st = chambolle_prox(x - bu, th1, tv_iters, duals=(pux, puy))
+        vn = soft_threshold(x - bv, th2)
+        rhat = jnp.asarray(ATy_hat) + jnp.fft.rfft2(mu1 * (un + bu) + mu2 * (vn + bv))
+        xhat = inv_filter * rhat
+        xn = blur.irfft(xhat)
+        bun = bu + (un - xn)
+        bvn = bv + (vn - xn)
+        obj = 0.5 * pnorm2(jnp.asarray(yhat) - H * xhat) + tau1 * tv_norm(un) + tau2 * l1_norm(vn)
+        crit = jnp.abs(obj - prev_obj) / prev_obj
+        newly = jnp.logical_and(jnp.logical_and(crit < tol, k >= 1), active)
+        keep = lambda a, o: jnp.where(active, a, o)
+        carry = (
+            keep(xn, x), keep(un, u), keep(bun, bu), keep(vn, v), keep(bvn, bv),
+            keep(st.px, pux), keep(st.py, puy),
+            jnp.where(active, obj, prev_obj),
+            jnp.logical_or(done, newly), n_done + active.astype(jnp.int32),
+        )
+        mse = jnp.sum((carry[0] - xt) ** 2) / d if compute_mse else jnp.zeros((), dtype)
+        return carry, dict(objective=carry[7], mse=mse)
+
+    z = jnp.zeros_like(y)
+    obj0 = (0.5 * jnp.sum(y * y)).astype(dtype)
+    init = (z, z, z, z, z, z, z, obj0, jnp.array(False), jnp.zeros((), jnp.int32))
+    (x, *_, n_done), traces = jax.jit(
+        lambda i: jax.lax.scan(body, i, jnp.arange(max_iter))
+    )(init)
+    traces = jax.tree_util.tree_map(np.asarray, traces)
+    return CoRALResult(
+        x=np.asarray(x),
+        objective=np.concatenate([[float(obj0)], traces["objective"]]),
+        mses=traces["mse"],
+        n_iters=int(n_done),
     )

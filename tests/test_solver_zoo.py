@@ -76,3 +76,77 @@ def test_spgl1_bpdn_reaches_sigma(rng):
     assert res.resid_norm <= target * 1.2
     assert res.tau > 0
     assert np.all(np.isfinite(res.x))
+
+
+def test_coral_tv_warm_start(rng):
+    """TVINITIALIZATION leg: warm-started duals converge at least as well."""
+    blur, H, x, y, _ = _make(rng)
+    cold = coral_tv_l1(jnp.asarray(y), H, 0.3, 0.01, blur, mu1=0.03, mu2=0.03,
+                       max_iter=150, tol=1e-10, x_true=jnp.asarray(x))
+    warm = coral_tv_l1(jnp.asarray(y), H, 0.3, 0.01, blur, mu1=0.03, mu2=0.03,
+                       max_iter=150, tol=1e-10, x_true=jnp.asarray(x),
+                       tv_warm_start=True)
+    assert np.all(np.isfinite(warm.x))
+    # same problem, both should land at comparable objectives
+    assert abs(warm.objective[-1] - cold.objective[-1]) / cold.objective[-1] < 0.05
+    assert warm.mses[warm.n_iters - 1] < np.mean((y - x) ** 2)
+
+
+def test_salsa_generic_matrix_operator(rng):
+    """Generic SALSA with a dense-matrix operator (the reference's matrix-A
+    path, SALSA_v2.m:283-300) solving a small L1 problem."""
+    import jax
+
+    from semiblind_tv_tpu.solvers.salsa_generic import salsa
+
+    n, m = 48, 96
+    Amat = jnp.asarray(rng.standard_normal((n, m)) / np.sqrt(n))
+    x_true = np.zeros(m); x_true[rng.choice(m, 6, replace=False)] = rng.standard_normal(6) * 3
+    y = Amat @ jnp.asarray(x_true) + 0.01 * jnp.asarray(rng.standard_normal(n))
+
+    mu = 0.1
+    # (AᵀA + µI)⁻¹ precomputed densely, like the reference's inverse_term
+    inv_term = jnp.linalg.inv(Amat.T @ Amat + mu * jnp.eye(m))
+    res = salsa(
+        y,
+        A=lambda v: Amat @ v,
+        AT=lambda v: Amat.T @ v,
+        inv_ls=lambda r: inv_term @ r,
+        tau=0.02, mu=mu, max_iter=400, tol=1e-10,
+    )
+    assert res.objective[res.n_iters] <= res.objective[0]
+    # support recovery: large entries found
+    big = np.abs(x_true) > 1.0
+    assert np.corrcoef(res.x[big], x_true[big])[0, 1] > 0.9
+
+
+def test_salsa_generic_matches_salsa_tv(rng):
+    """With the rfft operator + chambolle prox, generic salsa reproduces
+    the specialised salsa_tv trajectory."""
+    from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+    from semiblind_tv_tpu.solvers import salsa_tv
+    from semiblind_tv_tpu.solvers.salsa_generic import salsa
+
+    blur, H, x, y = __import__("tests.test_salsa", fromlist=["x"])._make_problem(rng)
+    Hh = np.asarray(H)
+    tau, mu = 0.15, 0.015
+    inv_f = 1.0 / (np.abs(Hh) ** 2 + mu)
+
+    def prox(v, t):
+        f, _ = chambolle_prox(v, t, 10)
+        return f
+
+    res_g = salsa(
+        jnp.asarray(y),
+        A=lambda v: blur.irfft(Hh * jnp.fft.rfft2(v)),
+        AT=lambda v: blur.irfft(np.conj(Hh) * jnp.fft.rfft2(v)),
+        inv_ls=lambda r: blur.irfft(inv_f * jnp.fft.rfft2(r)),
+        tau=tau, mu=mu, prox=prox, phi=tv_norm, max_iter=25, tol=1e-12,
+    )
+    res_tv = salsa_tv(jnp.asarray(y), H, tau, mu, blur, max_iter=25, tol=1e-12,
+                      tv_iters=10)
+    # same ADMM up to the prox warm-start difference: generic salsa has NO
+    # dual warm start (reference default), so compare against a cold run —
+    # objectives agree at iteration 1 and stay within a few percent after
+    np.testing.assert_allclose(res_g.objective[1], res_tv.objective[1], rtol=0.02)
+    assert abs(res_g.objective[-1] - res_tv.objective[-1]) / res_tv.objective[-1] < 0.05
