@@ -129,3 +129,49 @@ def chambolle_prox(
     px, py, k, err, _ = jax.lax.fori_loop(0, max_iter, body, init)
     f = g - lam * divergence(px, py)
     return f, ChambolleState(px=px, py=py, iters=k, err=err)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def tv_denoise_circular(y: jnp.ndarray, lam, n_iter: int, tau: float = 0.249):
+    """Circular-boundary Chambolle TV denoiser (reference SALSA/tvdenoising.m).
+
+    Alternative to chambolle_prox with *circular* forward differences
+    (conv2c stencils) and the multiplicative dual damping
+    W = 1/(1 + (2/λ)τ|∇x|) (tvdenoising.m:83-89).  Solves
+    argmin ½‖y−x‖² + λ·TV(x) up to the boundary-handling difference.
+    """
+    dh = lambda x: jnp.roll(x, -1, 1) - x   # conv2c(x, [1 -1 0])
+    dv = lambda x: jnp.roll(x, -1, 0) - x
+    dht = lambda x: jnp.roll(x, 1, 1) - x   # exact adjoint (conv2c [0 -1 1])
+    dvt = lambda x: jnp.roll(x, 1, 0) - x
+
+    def body(_, carry):
+        Z1, Z2 = carry
+        x = dht(Z1) + dvt(Z2) - y
+        gx, gy = dh(x), dv(x)
+        W = 1.0 / (1.0 + (2.0 / lam) * tau * jnp.sqrt(gx * gx + gy * gy))
+        return (Z1 - tau * gx) * W, (Z2 - tau * gy) * W
+
+    Z1, Z2 = jax.lax.fori_loop(0, n_iter, body, (jnp.zeros_like(y), jnp.zeros_like(y)))
+    return y - dht(Z1) - dvt(Z2)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def projk_denoise(g: jnp.ndarray, lam, n_iter: int, tau: float = 0.25):
+    """The reference's projk variant (SALSA/projk.m): circular backward-diff
+    Q, per-component |q| damping (anisotropic normalisation), u = g − λQᵀp."""
+    Q1 = lambda x: x - jnp.roll(x, 1, 1)    # conv2c(x, [0 1 -1])
+    Q2 = lambda x: x - jnp.roll(x, 1, 0)
+    Qs1 = lambda x: jnp.roll(x, -1, 1) - x  # conv2c(x, [1 -1 0])
+    Qs2 = lambda x: jnp.roll(x, -1, 0) - x
+
+    def body(_, carry):
+        p1, p2 = carry
+        u = Qs1(p1) + Qs2(p2) - g / lam
+        q1, q2 = Q1(u), Q2(u)
+        p1 = (p1 + tau * q1) / (1.0 + tau * jnp.abs(q1))
+        p2 = (p2 + tau * q2) / (1.0 + tau * jnp.abs(q2))
+        return p1, p2
+
+    p1, p2 = jax.lax.fori_loop(0, n_iter, body, (jnp.zeros_like(g), jnp.zeros_like(g)))
+    return g - lam * (Qs1(p1) + Qs2(p2))

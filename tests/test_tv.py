@@ -76,3 +76,37 @@ def test_chambolle_batched_vmap(rng):
     for i in range(3):
         f_i, _ = tv.chambolle_prox(jnp.asarray(g[i]), 0.7, 15)
         np.testing.assert_allclose(f_b[i], f_i, rtol=1e-9, atol=1e-12)
+
+
+def test_tv_denoise_circular_matches_oracle(rng):
+    """Verbatim NumPy port of tvdenoising.m as oracle."""
+    from semiblind_tv_tpu.ops.tv import tv_denoise_circular
+
+    y = 10 * rng.standard_normal((24, 24))
+    lam, niter, tau = 2.0, 30, 0.249
+    # oracle
+    dh = lambda x: np.roll(x, -1, 1) - x
+    dv = lambda x: np.roll(x, -1, 0) - x
+    dht = lambda x: np.roll(x, 1, 1) - x
+    dvt = lambda x: np.roll(x, 1, 0) - x
+    Z1 = np.zeros_like(y); Z2 = np.zeros_like(y)
+    for _ in range(niter):
+        x = dht(Z1) + dvt(Z2) - y
+        W = 1.0 / (1.0 + (2.0 / lam) * tau * np.sqrt(dh(x) ** 2 + dv(x) ** 2))
+        Z1 = (Z1 - tau * dh(x)) * W
+        Z2 = (Z2 - tau * dv(x)) * W
+    want = y - dht(Z1) - dvt(Z2)
+    got = tv_denoise_circular(jnp.asarray(y), lam, niter)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+    # it actually denoises: TV reduced
+    from semiblind_tv_tpu.ops.tv import tv_norm
+    assert float(tv_norm(jnp.asarray(got))) < float(tv_norm(jnp.asarray(y)))
+
+
+def test_projk_denoise_runs_and_smooths(rng):
+    from semiblind_tv_tpu.ops.tv import projk_denoise, tv_norm
+
+    g = 10 * rng.standard_normal((16, 16))
+    u = projk_denoise(jnp.asarray(g), 1.5, 40)
+    assert np.all(np.isfinite(u))
+    assert float(tv_norm(jnp.asarray(u))) < float(tv_norm(jnp.asarray(g)))
