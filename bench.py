@@ -125,7 +125,8 @@ def bench_cpu_reference():
 
 def main():
     tpu_rate = bench_tpu()
-    cpu_rate = bench_cpu_reference()
+    # median of 3 to stabilise the host-load-sensitive CPU baseline
+    cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
     print(
         json.dumps(
             {
