@@ -16,7 +16,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from semiblind_tv_tpu.parallel.mesh import CHAINS_AXIS, DATA_AXIS, make_mesh

@@ -24,8 +24,6 @@ TPU-first redesign decisions:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from semiblind_tv_tpu.ops.tv import ChambolleState, divergence
+from semiblind_tv_tpu.ops.tv import ChambolleState
 
 __all__ = ["chambolle_prox_pallas"]
 

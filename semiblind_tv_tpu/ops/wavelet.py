@@ -25,8 +25,6 @@ analysis of an (m, n) image with L levels gives (m, n*(3L+1)).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,11 +13,11 @@ Hyperparameter state is replicated along 'chains' and sharded along 'data'.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 __all__ = ["make_mesh", "DATA_AXIS", "CHAINS_AXIS"]
 

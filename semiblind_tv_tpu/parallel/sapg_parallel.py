@@ -23,12 +23,12 @@ tests/test_parallel.py on an 8-device virtual CPU mesh.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from semiblind_tv_tpu.parallel.mesh import CHAINS_AXIS, DATA_AXIS
 from semiblind_tv_tpu.runtime.problem import Problem

@@ -15,8 +15,6 @@ Mirrors the driver-side setup of the reference demos
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
-
 import numpy as np
 
 import jax

@@ -44,7 +44,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semiblind_tv_tpu.models.psf_models import ParamSpec
 from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
 from semiblind_tv_tpu.runtime.problem import Problem
 from semiblind_tv_tpu.samplers.myula import myula_kernel_step

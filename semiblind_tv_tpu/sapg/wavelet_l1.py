@@ -20,7 +20,7 @@ one irfft2, one analysis — all inside a single lax.scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Default ε = sqrt(d + 8√d)·σ (CSALSA_v2.m:412-413).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

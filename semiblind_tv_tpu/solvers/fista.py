@@ -20,7 +20,7 @@ is one lax.scan with frozen-state early stop (same pattern as salsa_tv).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 
 from semiblind_tv_tpu.ops.fourier import BlurOperator
 from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
-from semiblind_tv_tpu.solvers.salsa import soft_threshold
 
 __all__ = ["FISTAResult", "fista_tv", "fista"]
 

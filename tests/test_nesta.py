@@ -1,7 +1,6 @@
 """NESTA solver: constraint satisfaction, objective decrease, both priors."""
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from semiblind_tv_tpu.ops import fourier, psf
 from semiblind_tv_tpu.ops.tv import tv_norm

@@ -10,7 +10,7 @@ import pytest
 
 from semiblind_tv_tpu.parallel.mesh import make_mesh
 from semiblind_tv_tpu.parallel.sapg_parallel import run_sapg_sharded
-from semiblind_tv_tpu.runtime import build_problem, gaussian_preset, laplace_preset
+from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
 from semiblind_tv_tpu.utils import synthetic_wheel
 
 SIZE = 32

@@ -1,6 +1,5 @@
 """Profiling / observability utilities."""
 import json
-import os
 
 import jax.numpy as jnp
 import numpy as np

@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semiblind_tv_tpu.ops.tv import chambolle_prox
 from semiblind_tv_tpu.runtime import build_problem, gaussian_preset, laplace_preset, moffat_preset
 from semiblind_tv_tpu.sapg import run_sapg
 from semiblind_tv_tpu.sapg.estimator import make_sapg_step

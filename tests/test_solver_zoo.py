@@ -1,7 +1,6 @@
 """CoRAL and SPGL1 solver-zoo tests."""
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from semiblind_tv_tpu.ops import fourier, psf
 from semiblind_tv_tpu.solvers.coral import coral_tv_l1
@@ -95,8 +94,6 @@ def test_coral_tv_warm_start(rng):
 def test_salsa_generic_matrix_operator(rng):
     """Generic SALSA with a dense-matrix operator (the reference's matrix-A
     path, SALSA_v2.m:283-300) solving a small L1 problem."""
-    import jax
-
     from semiblind_tv_tpu.solvers.salsa_generic import salsa
 
     n, m = 48, 96

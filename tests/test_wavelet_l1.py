@@ -3,11 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semiblind_tv_tpu.sapg.wavelet_l1 import (
-    WaveletL1Config,
-    run_sapg_wavelet_l1,
-    _salsa_l1_synthesis,
-)
+from semiblind_tv_tpu.sapg.wavelet_l1 import WaveletL1Config, run_sapg_wavelet_l1
 from semiblind_tv_tpu.utils import synthetic_wheel
 
 
