@@ -150,11 +150,16 @@ def save_plots(out_dir, results, sapg, salsa, problem):
     trace_fig("logPi", sapg.logPiTrace)
     trace_fig("err_psf", sapg.err_psf)
 
-    for title, img in [
+    panels = [
         ("x", np.asarray(problem.x_true)),
         ("y", np.asarray(problem.y)),
         ("xMAP", salsa.x),
-    ]:
+    ]
+    if getattr(sapg, "posterior_mean", None) is not None:
+        # the reference's commented-out figmean panel (run_Gaussian_demo.m:291-295)
+        panels.append(("posterior_mean", sapg.posterior_mean[0]))
+        panels.append(("posterior_std", np.sqrt(sapg.posterior_var[0])))
+    for title, img in panels:
         fig, ax = plt.subplots(figsize=(6, 6))
         ax.imshow(img, cmap="gray")
         ax.set_axis_off()

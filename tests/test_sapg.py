@@ -235,3 +235,54 @@ def test_sigma_log_scale_extension():
     lo, hi = float(problem.sigma2_box[0]), float(problem.sigma2_box[1])
     assert np.all(res.sigma2s >= lo - 1e-9) and np.all(res.sigma2s <= hi + 1e-9)
     assert np.all(np.isfinite(res.sigma2s))
+
+
+def test_posterior_moments_exact_vs_bruteforce():
+    """Welford moments must equal the brute-force mean/var over the
+    post-burn-in sample trace, computed by replaying the identical chain."""
+    import dataclasses
+
+    cfg = gaussian_preset(fix_w1=True, fix_w2=True)
+    cfg = dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(
+            cfg.sapg, samples=24, warmup=4, burn_in=10,
+            track_posterior_moments=True,
+        ),
+    )
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(9), dtype=jnp.float64)
+    res = run_sapg(problem, jax.random.key(10))
+
+    # replay: identical run without moments, collecting X per step via
+    # segmented checkpointing (checkpoint_every=1 gives us nothing per-X;
+    # instead re-run with the same keys using make_sapg_step manually)
+    from semiblind_tv_tpu.sapg.estimator import make_sapg_step, problem_consts
+
+    step, aux = make_sapg_step(problem, n_chains=1)
+    consts = problem_consts(problem)
+    theta = jnp.float64(cfg.theta.init)
+    sigma = problem.sigma2_init
+    params = {k: jnp.float64(v) for k, v in cfg.init_psf_params().items()}
+    keys = jax.random.split(jax.random.key(10), 1)
+    X = problem.y[None]
+    prox, _ = aux["prox_b"](X, aux["lam"] * theta)
+    Xhat = jnp.fft.rfft2(X)
+    # warm-up replay
+    carry_w = (X, Xhat, prox, keys)
+    for _ in range(cfg.sapg.warmup - 1):
+        carry_w, _ = aux["warm_step"](carry_w, None, consts)
+    X, Xhat, prox, keys = carry_w
+    extra0 = dict(
+        pm_mean=jnp.zeros_like(X), pm_m2=jnp.zeros_like(X),
+        pm_count=jnp.zeros((), jnp.float64),
+    )
+    carry = (X, Xhat, prox, keys, theta, sigma, params, extra0)
+    xs = []
+    for ii in range(2, cfg.sapg.samples + 1):
+        carry, _ = step(carry, jnp.float64(ii))
+        if ii > cfg.sapg.burn_in_resolved:
+            xs.append(np.asarray(carry[0]))
+    xs = np.stack(xs)
+    np.testing.assert_allclose(res.posterior_mean, xs.mean(0), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(res.posterior_var, xs.var(0, ddof=1), rtol=1e-8, atol=1e-10)
