@@ -1,5 +1,9 @@
 """Chain-scaling benchmark: chain-iterations/sec vs number of vmapped chains.
 
+NOTE: on shared-tunnel TPU environments, run ONE config per process for
+trustworthy numbers (BENCH_CHAINS_LIST=8) — a multi-config run's earlier
+timings can be polluted by the remote compilation of later configs.
+
 Produces the scaling table that the north-star metric asks for
 (BASELINE.md: chains/s efficiency at 1 chip; the multi-chip legs run under
 the same harness via parallel.sapg_parallel on larger meshes).
@@ -41,7 +45,7 @@ def main():
         X0 = jnp.broadcast_to(problem.y, (C, SIZE, SIZE))
         prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
         keys = jax.random.split(jax.random.key(1), C)
-        carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0)
+        carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
         run = jax.jit(
             lambda c: jax.lax.scan(
                 step, c, jnp.arange(2.0, STEPS + 2.0, dtype=jnp.float32)
