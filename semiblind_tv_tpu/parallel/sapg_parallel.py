@@ -28,7 +28,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from semiblind_tv_tpu.parallel.mesh import CHAINS_AXIS, DATA_AXIS
 from semiblind_tv_tpu.runtime.problem import Problem
@@ -38,6 +38,23 @@ from semiblind_tv_tpu.sapg.estimator import (
 )
 
 __all__ = ["stack_problem_consts", "build_sharded_sapg", "run_sapg_sharded"]
+
+
+def _to_global(v, sharding: NamedSharding):
+    """Place a host-replicated value onto a (possibly multi-host) sharding.
+
+    Single-process: plain device_put.  Under jax.distributed no process can
+    address the whole mesh, so each process contributes its addressable
+    shards via make_array_from_callback slicing the (identical) full host
+    value; typed PRNG keys round-trip through key_data."""
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    if jnp.issubdtype(v.dtype, jax.dtypes.prng_key):
+        raw = np.asarray(jax.random.key_data(v))
+        glob = jax.make_array_from_callback(raw.shape, sharding, lambda idx: raw[idx])
+        return jax.random.wrap_key_data(glob)
+    host = np.asarray(v)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
 
 
 def stack_problem_consts(problems: Sequence[Problem]):
@@ -151,7 +168,13 @@ def build_sharded_sapg(
         return new_state, trace["theta"]
 
     def make_full_state(key):
-        """Materialise the initial sharded state (host-side)."""
+        """Materialise the initial sharded state with explicit placements.
+
+        Every process computes the same full host values; jax.device_put with
+        a NamedSharding takes each process's addressable shards, so this
+        works identically single-process and under jax.distributed
+        (multi-host), where no process can address the whole mesh.
+        """
         X0, keys = init_state(key)
         prox0 = jax.vmap(lambda Xd, c: aux["prox_b"](Xd, c["lam"] * aux["theta0"])[0])(
             X0, consts
@@ -165,7 +188,17 @@ def build_sharded_sapg(
             sigma2=sigma0,
             params=params0,
         )
-        return state
+        specs = dict(
+            X=spec_state, Xhat=spec_state, prox=spec_state, keys=spec_state,
+            theta=spec_data, sigma2=spec_data,
+            params={k: spec_data for k in params0},
+        )
+        return jax.tree_util.tree_map(
+            lambda v, sp: _to_global(v, NamedSharding(mesh, sp)),
+            state,
+            specs,
+            is_leaf=lambda v: isinstance(v, (jnp.ndarray, np.ndarray)),
+        )
 
     return dict(
         step=sharded_step,

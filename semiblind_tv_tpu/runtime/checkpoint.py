@@ -5,10 +5,11 @@ struct saved as .mat (full iterate traces + last sample + options —
 SAPG_algorithm_Guassian.m:250-306, SALSA/runStats.m).  Here:
 
   * `save_results` / `load_results` — the same schema as compressed NPZ.
-  * `SAPGCheckpoint` — mid-run checkpointing of the scan carry
-    (chain states, hyperparameters, PRNG key, iteration) so a long SAPG run
-    can resume after preemption; the reference has no mid-run checkpointing
-    (SURVEY.md §5) so this is a new capability, not a port.
+  * Mid-run checkpoint/resume of the SAPG scan carry lives with the
+    estimator (`sapg/estimator.py::_save_checkpoint`/`_restore_checkpoint`,
+    driven by run_sapg's checkpoint_every/checkpoint_path); the reference
+    has no mid-run checkpointing (SURVEY.md §5) so that is a new
+    capability, not a port.
 """
 from __future__ import annotations
 
@@ -17,10 +18,9 @@ import json
 import os
 from typing import Any, Dict
 
-import jax
 import numpy as np
 
-__all__ = ["save_results", "load_results", "save_carry", "load_carry", "run_stats"]
+__all__ = ["save_results", "load_results", "run_stats"]
 
 
 def save_results(path: str, sapg, salsa=None) -> None:
@@ -48,26 +48,6 @@ def save_results(path: str, sapg, salsa=None) -> None:
 def load_results(path: str) -> Dict[str, np.ndarray]:
     with np.load(path, allow_pickle=False) as z:
         return {k: z[k] for k in z.files}
-
-
-def save_carry(path: str, carry, step: int) -> None:
-    """Checkpoint a SAPG scan carry (pytree of arrays) mid-run."""
-    leaves, treedef = jax.tree_util.tree_flatten(carry)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    arrays["__step__"] = np.asarray(step)
-    np.savez_compressed(path, **arrays)
-    with open(path + ".tree", "w") as f:
-        f.write(str(treedef))
-
-
-def load_carry(path: str, like_carry):
-    """Restore a carry checkpointed by save_carry, using `like_carry` for the
-    pytree structure."""
-    leaves, treedef = jax.tree_util.tree_flatten(like_carry)
-    with np.load(path) as z:
-        step = int(z["__step__"])
-        new_leaves = [z[f"leaf_{i}"] for i in range(len(leaves))]
-    return jax.tree_util.tree_unflatten(treedef, new_leaves), step
 
 
 def run_stats(directory: str) -> Dict[str, float]:

@@ -1,0 +1,42 @@
+"""Worker for the 2-process jax.distributed smoke test.
+
+Each process contributes 2 virtual CPU devices to a 4-device global mesh
+and runs a short sharded SAPG; process 0 prints the final theta values.
+Launched by tests/test_multihost.py.
+"""
+import sys
+
+import jax
+
+PORT = sys.argv[1]
+PID = int(sys.argv[2])
+
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{PORT}", num_processes=2, process_id=PID
+)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+from semiblind_tv_tpu.parallel.mesh import make_mesh  # noqa: E402
+from semiblind_tv_tpu.parallel.sapg_parallel import run_sapg_sharded  # noqa: E402
+from semiblind_tv_tpu.runtime import build_problem, gaussian_preset  # noqa: E402
+from semiblind_tv_tpu.utils import synthetic_wheel  # noqa: E402
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+problem = build_problem(synthetic_wheel(32), cfg, jax.random.key(0))
+mesh = make_mesh(data=1, chains=4)
+state, thetas = run_sapg_sharded(
+    [problem], mesh, jax.random.key(1), chains_per_shard=2, n_steps=6
+)
+# gather the (replicated-on-chains, data-sharded) theta to every host
+from jax.experimental import multihost_utils  # noqa: E402
+
+theta_global = multihost_utils.process_allgather(state["theta"], tiled=True)
+print(f"RESULT {PID} {float(np.ravel(theta_global)[0]):.10f}", flush=True)
