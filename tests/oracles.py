@@ -213,3 +213,52 @@ def np_salsa(y, H, tau, mu, max_iter, tol=1e-5, tv_iters=10, x_true=None):
         x=x, objective=np.array(objective), distance=np.array(distance),
         mses=np.array(mses), criterion=np.array(criterion), n_iters=n_iters,
     )
+
+
+# ---------------------------------------------------------------------------
+# Legacy test-signal / trace helpers (SALSA/calctv.m, monotonize.m,
+# sparsePWS.m, MakeRDSquares.m) — literal loop ports of the MATLAB math.
+# ---------------------------------------------------------------------------
+
+def np_calctv(X):
+    dh = np.concatenate([np.diff(X, axis=1), np.zeros((X.shape[0], 1))], axis=1)
+    dv = np.concatenate([np.diff(X, axis=0), np.zeros((1, X.shape[1]))], axis=0)
+    mag = np.sqrt(dh**2 + dv**2)
+    return mag.sum(), mag.max()
+
+
+def np_monotonize(x):
+    y = np.empty_like(np.asarray(x, dtype=float))
+    y[0] = x[0]
+    offset = 0.0
+    for k in range(1, len(x)):
+        if x[k] < x[k - 1]:
+            offset += x[k - 1] - x[k]
+        y[k] = x[k] + offset
+    return y
+
+
+def np_sparse_pws(corners, N, n):
+    """corners: (L, 2) int array of MATLAB-style 1-based round(rand*N) draws."""
+    x = np.zeros((N, N))
+    for xc in corners:
+        r0, r1 = max(xc[0], 1), min(xc[0] + n - 1, N)
+        c0, c1 = max(xc[1], 1), min(xc[1] + n - 1, N)
+        x[r0 - 1:r1, c0 - 1:c1] = 1.0
+    return x
+
+
+def np_rd_squares(draws, N, nbs, dyna):
+    """draws: (nbs, 5) uniforms standing in for MATLAB's rand stream."""
+    lmin, lmax = 8, N // 4
+    x = np.zeros((N, N))
+    for u in draws:
+        ndx = int(1 + np.floor((N - lmax - 1) * u[0]))
+        lx = int(min(N - ndx - 1, np.floor(lmin + (lmax - lmin) * u[1])))
+        ndy = int(1 + np.floor((N - lmax - 1) * u[2]))
+        ly = int(min(N - ndy - 1, np.floor(lmin + (lmax - lmin) * u[3])))
+        x[ndx - 1:ndx + lx - 1, ndy - 1:ndy + ly - 1] = 1 + 10 ** (dyna / 20.0) * u[4]
+    ind = x > 0.5
+    x[ind] -= x[ind].min()
+    x[ind] = x[ind] / x[ind].max() * (10 ** (dyna / 20.0) - 1) + 1
+    return x
