@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+from semiblind_tv_tpu.runtime.checkpoint import load_checkpoint_arrays, save_checkpoint_arrays
 from semiblind_tv_tpu.runtime.problem import Problem
 from semiblind_tv_tpu.samplers.myula import myula_kernel_step
 
@@ -361,11 +362,13 @@ def make_sapg_step(problem: Problem, n_chains: int, axis_name: Optional[str] = N
     return step, aux
 
 
-def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
-    """Persist (carry, completed-iteration count, trace segments) as NPZ.
+def _save_checkpoint(path: str, carry, done_iters: int, seg_traces, backend: str = "npz") -> None:
+    """Persist (carry, completed-iteration count, trace segments).
 
     Xhat is complex and recomputable — dropped (some TPUs cannot copy
-    complex buffers to host); PRNG keys stored via key_data.
+    complex buffers to host); PRNG keys stored via key_data.  `backend`
+    selects NPZ (portable default) or Orbax (multi-host-coordinated) via
+    runtime.checkpoint.save_checkpoint_arrays.
     """
     X, _Xhat, prox, keys, theta, sigma2, params, extra = carry
     merged = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
@@ -382,28 +385,22 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces) -> None:
         arrays[f"param/{k}"] = np.asarray(v)
     for k, v in extra.items():
         arrays[f"extra/{k}"] = np.asarray(v)
-    tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp, path)
+    save_checkpoint_arrays(path, arrays, backend=backend)
 
 
-def _restore_checkpoint(path: str, like_carry):
+def _restore_checkpoint(path: str, like_carry, backend: str | None = None):
     """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict])."""
     _X, _Xh, _prox, like_keys, _t, _s, like_params, like_extra = like_carry
-    with np.load(path) as z:
-        X = jnp.asarray(z["X"])
-        prox = jnp.asarray(z["prox"])
-        keys = jax.random.wrap_key_data(jnp.asarray(z["keys"]))
-        theta = jnp.asarray(z["theta"])
-        sigma2 = jnp.asarray(z["sigma2"])
-        params = {
-            k: jnp.asarray(z[f"param/{k}"]) for k in like_params
-        }
-        traces = {
-            k[len("trace/"):]: z[k] for k in z.files if k.startswith("trace/")
-        }
-        extra = {k: jnp.asarray(z[f"extra/{k}"]) for k in like_extra}
-        done = int(z["done_iters"])
+    z = load_checkpoint_arrays(path, backend=backend)
+    X = jnp.asarray(z["X"])
+    prox = jnp.asarray(z["prox"])
+    keys = jax.random.wrap_key_data(jnp.asarray(z["keys"]))
+    theta = jnp.asarray(z["theta"])
+    sigma2 = jnp.asarray(z["sigma2"])
+    params = {k: jnp.asarray(z[f"param/{k}"]) for k in like_params}
+    traces = {k[len("trace/"):]: z[k] for k in z if k.startswith("trace/")}
+    extra = {k: jnp.asarray(z[f"extra/{k}"]) for k in like_extra}
+    done = int(z["done_iters"])
     carry = (X, jnp.fft.rfft2(X), prox, keys, theta, sigma2, params, extra)
     return carry, done, [traces]
 
@@ -416,13 +413,16 @@ def run_sapg(
     x0: Optional[jnp.ndarray] = None,
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
+    checkpoint_backend: str = "npz",
 ) -> SAPGResult:
     """Run warm-up + SAPG and assemble the full diagnostics bundle.
 
     checkpoint_every/checkpoint_path enable mid-run checkpoint + resume:
     the scan is segmented, the carry persisted after each segment, and an
     existing checkpoint at `checkpoint_path` resumes the run mid-way
-    (identical trajectory to an uninterrupted run — tested)."""
+    (identical trajectory to an uninterrupted run — tested).
+    checkpoint_backend: "npz" (single-file, portable) or "orbax"
+    (directory per checkpoint, async multi-host-coordinated writes)."""
     cfg = problem.cfg
     sapg = cfg.sapg
     blur = problem.blur
@@ -487,7 +487,9 @@ def run_sapg(
     start_ii = 2
     seg_traces = []
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        carry, done_iters, saved_traces = _restore_checkpoint(checkpoint_path, carry)
+        carry, done_iters, saved_traces = _restore_checkpoint(
+            checkpoint_path, carry, backend=checkpoint_backend
+        )
         start_ii += done_iters
         seg_traces.extend(saved_traces)
     if checkpoint_every is None:
@@ -503,7 +505,9 @@ def run_sapg(
             seg_traces.append(jax.tree_util.tree_map(np.asarray, tr))
             ii = end + 1
             if checkpoint_path is not None:
-                _save_checkpoint(checkpoint_path, carry, ii - 2, seg_traces)
+                _save_checkpoint(
+                    checkpoint_path, carry, ii - 2, seg_traces, backend=checkpoint_backend
+                )
     traces = (
         jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
         if len(seg_traces) > 1

@@ -1,5 +1,7 @@
 """SAPG estimator: one-step parity vs the spatial-domain NumPy oracle, plus
 short end-to-end runs for every PSF family."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,6 +178,35 @@ def test_checkpoint_resume_identical_trajectory(tmp_path):
     res_resume = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
                           checkpoint_path=ckpt)
     np.testing.assert_allclose(res_resume.thetas, res_full.thetas, rtol=1e-12)
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """Orbax-backed mid-run checkpointing reproduces the NPZ trajectory
+    (same flat array schema, directory-per-checkpoint layout)."""
+    from semiblind_tv_tpu.runtime.checkpoint import (
+        delete_checkpoint,
+        load_checkpoint_arrays,
+    )
+
+    cfg = _short(gaussian_preset(fix_w1=False, fix_w2=False))
+    x = _image()
+    problem = build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64)
+    res_full = run_sapg(problem, jax.random.key(2))
+
+    ckpt = str(tmp_path / "sapg_orbax")
+    res_seg = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
+                       checkpoint_path=ckpt, checkpoint_backend="orbax")
+    np.testing.assert_allclose(res_seg.thetas, res_full.thetas, rtol=1e-12)
+    assert os.path.isdir(ckpt)
+
+    # resume path (backend auto-detected from the directory layout)
+    z = load_checkpoint_arrays(ckpt)
+    assert "X" in z and any(k.startswith("trace/") for k in z)
+    res_resume = run_sapg(problem, jax.random.key(2), checkpoint_every=7,
+                          checkpoint_path=ckpt, checkpoint_backend="orbax")
+    np.testing.assert_allclose(res_resume.thetas, res_full.thetas, rtol=1e-12)
+    delete_checkpoint(ckpt)
+    assert not os.path.exists(ckpt)
 
 
 def test_isotropic_gaussian_family():
