@@ -88,19 +88,35 @@ class CallCounter:
 
 
 class MetricsLogger:
-    """Append-only JSON-lines metrics stream."""
+    """Append-only JSON-lines metrics stream, optionally teed to TensorBoard.
 
-    def __init__(self, path: str):
+    With `tensorboard_dir` set, every float-valued metric is also written as
+    a TensorBoard scalar (runtime/tensorboard.py — dependency-free tfevents
+    encoder), so SAPG/solver traces can be watched live in TensorBoard next
+    to jax.profiler traces."""
+
+    def __init__(self, path: str, tensorboard_dir: Optional[str] = None):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self._f = open(path, "a")
+        self._tb = None
+        if tensorboard_dir is not None:
+            from semiblind_tv_tpu.runtime.tensorboard import TensorBoardWriter
+
+            self._tb = TensorBoardWriter(tensorboard_dir)
 
     def log(self, step: int, **metrics: Any) -> None:
         rec = {"step": step}
         for k, v in metrics.items():
             rec[k] = float(v) if hasattr(v, "__float__") else v
+            if self._tb is not None and isinstance(rec[k], float):
+                self._tb.add_scalar(k, rec[k], step)
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
