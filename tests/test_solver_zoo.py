@@ -147,3 +147,47 @@ def test_salsa_generic_matches_salsa_tv(rng):
     # objectives agree at iteration 1 and stay within a few percent after
     np.testing.assert_allclose(res_g.objective[1], res_tv.objective[1], rtol=0.02)
     assert abs(res_g.objective[-1] - res_tv.objective[-1]) / res_tv.objective[-1] < 0.05
+
+
+def test_salsa_v1_inner_iters_denoising(rng):
+    """SALSA v1 (SALSA/SALSA.m:476-502): with A = I the fixed point of the
+    split is the prox itself — x* = soft(y, tau) as mu-ADMM converges; more
+    inner iterations converge in fewer outer iterations."""
+    from semiblind_tv_tpu.solvers.salsa_generic import salsa_v1
+
+    y = jnp.asarray(rng.standard_normal(64) * 2.0)
+    tau, mu = 0.5, 0.5
+    ident = lambda v: v
+    inv_ls = lambda r: r / (1.0 + mu)
+    want = np.sign(np.asarray(y)) * np.maximum(np.abs(np.asarray(y)) - tau, 0.0)
+
+    res1 = salsa_v1(y, ident, ident, inv_ls, tau, mu, max_iter=300, tol=1e-14)
+    np.testing.assert_allclose(res1.x, want, atol=1e-6)
+
+    res3 = salsa_v1(y, ident, ident, inv_ls, tau, mu, inner_iters=3,
+                    max_iter=300, tol=1e-14)
+    np.testing.assert_allclose(res3.x, want, atol=1e-6)
+
+    resz = salsa_v1(y, ident, ident, inv_ls, tau, mu, max_iter=300, tol=1e-14,
+                    output="z")
+    np.testing.assert_allclose(resz.x, want, atol=1e-6)
+
+
+def test_salsa_v1_matches_v2_at_one_inner_iter(rng):
+    """With identity P and inner_iters=1 the v1 splitting is the same
+    recursion as v2 (prox(x−b) → LS → dual update) — trajectories agree."""
+    from semiblind_tv_tpu.solvers.salsa_generic import salsa, salsa_v1
+
+    n, m = 32, 64
+    Amat = jnp.asarray(rng.standard_normal((n, m)) / np.sqrt(n))
+    y = jnp.asarray(rng.standard_normal(n))
+    mu = 0.2
+    inv_term = jnp.linalg.inv(Amat.T @ Amat + mu * jnp.eye(m))
+    kw = dict(
+        A=lambda v: Amat @ v, AT=lambda v: Amat.T @ v,
+        inv_ls=lambda r: inv_term @ r, tau=0.05, mu=mu,
+        max_iter=40, tol=0.0,  # no early stop: compare raw trajectories
+    )
+    res_v2 = salsa(y, **kw)
+    res_v1 = salsa_v1(y, **kw)
+    np.testing.assert_allclose(res_v1.x, res_v2.x, rtol=1e-8, atol=1e-10)
