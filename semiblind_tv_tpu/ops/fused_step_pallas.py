@@ -13,6 +13,10 @@ kernel keeps X/Z/gradF/duals resident in VMEM for the whole segment
 (Xn, proxn, tv) in one launch.  Numerics are identical to the unfused path
 (ops/tv.py semantics: Neumann stencils, τ=0.249, masked early exit on the
 pre-update fixed-point residual; circular-difference TV norm).
+
+Chain batching is native: (B, M, N) inputs run as a grid of B programs
+(one chain per program) — do NOT vmap the pallas_call.  All scalars
+(γ, λ, λθ, τ, tol) ride in SMEM so they may be traced values.
 """
 from __future__ import annotations
 
@@ -29,12 +33,14 @@ __all__ = ["myula_prox_tv"]
 
 def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
             xn_ref, proxn_ref, tv_ref,
-            *, n_sweeps: int, tau: float, tol: float, positivity: bool):
+            *, n_sweeps: int, positivity: bool):
     gamma = scal_ref[0]
     lam = scal_ref[1]
     lam_theta = scal_ref[2]
+    tau = scal_ref[3]
+    tol = scal_ref[4]
 
-    x = x_ref[:]
+    x = x_ref[0]
     M, N = x.shape
     zrow = jnp.zeros((1, N), x.dtype)
     zcol = jnp.zeros((M, 1), x.dtype)
@@ -42,13 +48,13 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     # ---- MYULA update -----------------------------------------------------
     xn = (
         x
-        + gamma * (prox_ref[:] - x) / lam
-        - gamma * grad_ref[:]
-        + jnp.sqrt(2.0 * gamma) * z_ref[:]
+        + gamma * (prox_ref[0] - x) / lam
+        - gamma * grad_ref[0]
+        + jnp.sqrt(2.0 * gamma) * z_ref[0]
     )
     if positivity:
         xn = jnp.abs(xn)
-    xn_ref[:] = xn
+    xn_ref[0] = xn
 
     # ---- Chambolle dual ascent (fresh duals, as the SAPG prox uses) -------
     glam = xn / lam_theta
@@ -75,18 +81,16 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
 
     px0 = jnp.zeros_like(x)
     px, py, _ = jax.lax.fori_loop(0, n_sweeps, body, (px0, px0, jnp.array(True)))
-    proxn_ref[:] = xn - lam_theta * div(px, py)
+    proxn_ref[0] = xn - lam_theta * div(px, py)
 
     # ---- circular-difference TV norm --------------------------------------
     dh = xn - pltpu.roll(xn, 1, 1)
     dv = xn - pltpu.roll(xn, 1, 0)
-    tv_ref[0] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+    # whole-array SMEM output, one row per sequential grid program
+    tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_sweeps", "tau", "tol", "positivity"),
-)
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity"))
 def myula_prox_tv(
     x: jnp.ndarray,
     prox_cache: jnp.ndarray,
@@ -100,38 +104,46 @@ def myula_prox_tv(
     tol: float = 1e-3,
     positivity: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (x_new, prox_new, tv(x_new)) in one fused TPU kernel."""
+    """Returns (x_new, prox_new, tv(x_new)) in one fused TPU kernel.
+
+    Accepts (M, N) single-chain or (B, M, N) chain-batched fields; batched
+    inputs run one program per chain (tv is then shape (B,))."""
     if jax.default_backend() not in ("tpu", "axon"):
         raise NotImplementedError(
             "use_fused_step requires a TPU backend (Mosaic kernel); on "
             f"{jax.default_backend()!r} use the default unfused path"
         )
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, prox_cache, grad_f, z = x[None], prox_cache[None], grad_f[None], z[None]
+    B, M, N = x.shape
     scal = jnp.stack(
         [jnp.asarray(gamma, x.dtype), jnp.asarray(lam, x.dtype),
-         jnp.asarray(lam_theta, x.dtype)]
+         jnp.asarray(lam_theta, x.dtype), jnp.asarray(tau, x.dtype),
+         jnp.asarray(tol, x.dtype)]
     )
+    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     xn, proxn, tv = pl.pallas_call(
-        partial(
-            _kernel,
-            n_sweeps=n_sweeps, tau=float(tau), tol=float(tol),
-            positivity=bool(positivity),
-        ),
+        partial(_kernel, n_sweeps=n_sweeps, positivity=bool(positivity)),
+        grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((1,), x.dtype),
+            jax.ShapeDtypeStruct((B,), x.dtype),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            img_spec(),
+            img_spec(),
+            img_spec(),
+            img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            img_spec(),
+            img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )(x, prox_cache, grad_f, z, scal)
-    return xn, proxn, tv[0]
+    if squeeze:
+        xn, proxn, tv = xn[0], proxn[0], tv[0]
+    return xn, proxn, tv

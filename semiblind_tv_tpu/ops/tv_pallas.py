@@ -9,9 +9,12 @@ ALL sweeps, so the loop becomes compute-bound on the VPU instead of
 HBM-bandwidth-bound.
 
 A 512x512 f32 problem needs ~4 VMEM-resident fields (g, px, py + temps)
-≈ 4 MB — comfortably within the ~16 MB/core budget, so the kernel runs
-ungridded (one program, whole image).  The early-exit of the reference is
-preserved as a masked fixed-trip loop on the fixed-point residual.
+≈ 4 MB — comfortably within the ~16 MB/core budget.  Chain batching is
+native: a (B, M, N) input runs on a grid of B programs, one chain per
+program with its own VMEM-resident duals and its own masked early exit
+(do NOT vmap a pallas_call over chains — the batching rule picks losing
+block shapes; pass the batch in).  λ/τ/tol ride in SMEM so they may be
+traced values (λθ changes every SAPG iteration).
 """
 from __future__ import annotations
 
@@ -28,10 +31,10 @@ from semiblind_tv_tpu.ops.tv import ChambolleState
 __all__ = ["chambolle_prox_pallas"]
 
 
-def _kernel(g_ref, lam_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_ref,
-            *, max_iter: int, tau: float, tol: float):
-    g = g_ref[:]
-    lam = lam_ref[0]
+def _kernel(g_ref, scal_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_ref,
+            *, max_iter: int):
+    g = g_ref[0]
+    lam, tau, tol = scal_ref[0], scal_ref[1], scal_ref[2]
     glam = g / lam
 
     M, N = g.shape
@@ -61,19 +64,23 @@ def _kernel(g_ref, lam_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_re
         return px, py, k, err, active
 
     init = (
-        px_in_ref[:],
-        py_in_ref[:],
+        px_in_ref[0],
+        py_in_ref[0],
         jnp.zeros((), jnp.float32),
         jnp.array(jnp.inf, g.dtype),
         jnp.array(True),
     )
     px, py, k, err, _ = jax.lax.fori_loop(0, max_iter, body, init)
 
-    px_ref[:] = px
-    py_ref[:] = py
-    f_ref[:] = g - lam * div(px, py)
-    meta_ref[0] = k
-    meta_ref[1] = err.astype(jnp.float32)
+    px_ref[0] = px
+    py_ref[0] = py
+    f_ref[0] = g - lam * div(px, py)
+    # meta is whole-array SMEM (blocked 2-D SMEM outputs violate the 8x128
+    # lowering rule); the TPU grid is sequential so per-program row writes
+    # are race-free
+    i = pl.program_id(0)
+    meta_ref[i, 0] = k
+    meta_ref[i, 1] = err.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -85,37 +92,51 @@ def chambolle_prox_pallas(
     tol: float = 1e-3,
     duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
-    """Drop-in replacement for ops.tv.chambolle_prox backed by a Pallas kernel."""
+    """Drop-in replacement for ops.tv.chambolle_prox backed by a Pallas kernel.
+
+    Accepts a single (M, N) image or a (B, M, N) chain batch (grid of B
+    programs, duals VMEM-resident per program)."""
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[None]
+    B, M, N = g.shape
     if duals is None:
         px0 = jnp.zeros_like(g)
         py0 = jnp.zeros_like(g)
     else:
         px0, py0 = duals
-    lam_arr = jnp.asarray(lam, g.dtype).reshape((1,))
+        if squeeze:
+            px0, py0 = px0[None], py0[None]
+    scal = jnp.stack(
+        [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype), jnp.asarray(tol, g.dtype)]
+    )
 
+    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     f, px, py, meta = pl.pallas_call(
-        partial(_kernel, max_iter=max_iter, tau=float(tau), tol=float(tol)),
+        partial(_kernel, max_iter=max_iter),
+        grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct(g.shape, g.dtype),
             jax.ShapeDtypeStruct(g.shape, g.dtype),
             jax.ShapeDtypeStruct(g.shape, g.dtype),
-            jax.ShapeDtypeStruct((2,), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            img_spec(),
+            img_spec(),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            img_spec(),
+            img_spec(),
+            img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-    )(g, lam_arr, px0, py0)
+    )(g, scal, px0, py0)
 
-    state = ChambolleState(
-        px=px, py=py, iters=meta[0].astype(jnp.int32), err=meta[1].astype(g.dtype)
-    )
-    return f, state
+    iters = meta[:, 0].astype(jnp.int32)
+    err = meta[:, 1].astype(g.dtype)
+    if squeeze:
+        f, px, py, iters, err = f[0], px[0], py[0], iters[0], err[0]
+    return f, ChambolleState(px=px, py=py, iters=iters, err=err)

@@ -164,6 +164,17 @@ def make_general_sapg_step(
     tv_b = jax.vmap(tv_norm)
 
     def prox_b(X, lam_theta):
+        if sapg.use_pallas_prox:
+            # the Pallas kernel batches chains natively (grid of B programs);
+            # vmapping the pallas_call instead picks losing block shapes
+            return chambolle_prox(
+                X,
+                lam_theta,
+                sapg.chambolle_iters,
+                tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol,
+                use_pallas=True,
+            )
         return jax.vmap(
             lambda g: chambolle_prox(
                 g,
@@ -171,7 +182,6 @@ def make_general_sapg_step(
                 sapg.chambolle_iters,
                 tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol,
-                use_pallas=sapg.use_pallas_prox,
             )
         )(X)
 
@@ -201,13 +211,12 @@ def make_general_sapg_step(
         if sapg.use_fused_step:
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
-            Xn, proxn, tv = jax.vmap(
-                lambda xx, pp, gg, zz: myula_prox_tv(
-                    xx, pp, gg, zz, gam, lam, lam * theta,
-                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
-                    tol=sapg.chambolle_tol, positivity=sapg.positivity,
-                )
-            )(X, prox, gradF, Z)
+            # natively chain-batched kernel (grid of B programs) — no vmap
+            Xn, proxn, tv = myula_prox_tv(
+                X, prox, gradF, Z, gam, lam, lam * theta,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=sapg.positivity,
+            )
         else:
             Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
             proxn, _ = prox_b(Xn, lam * theta)

@@ -18,8 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("JAX_TPU_TESTS") == "1":
+    # real-chip mode: run tests/test_tpu_only.py against the TPU backend
+    # (f32; x64 is unsupported on TPU)
+    jax.config.update("jax_platforms", "axon,cpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

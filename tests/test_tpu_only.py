@@ -19,7 +19,6 @@ def test_fused_step_bit_identical():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_platforms", "axon,tpu,cpu")
     from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
     from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
     from semiblind_tv_tpu.samplers.myula import myula_kernel_step
@@ -51,3 +50,81 @@ def test_pallas_chambolle_bit_identical():
     f1, st1 = chambolle_prox(x, jnp.float32(0.5), 25)
     f2, st2 = chambolle_prox_pallas(x, jnp.float32(0.5), 25)
     assert float(jnp.max(jnp.abs(f1 - f2))) == 0.0
+
+
+@requires_tpu
+def test_pallas_chambolle_batched_grid():
+    """(B, M, N) input = grid of B programs; each chain bit-equal to its own
+    single-image solve (independent early exits per program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_pallas
+
+    B = 4
+    # very different scales so the chains exit the masked loop at
+    # different sweeps
+    xs = jnp.stack([
+        jax.random.normal(jax.random.key(i), (256, 256), jnp.float32) * (10.0 ** (i - 1))
+        for i in range(B)
+    ])
+    fb, stb = chambolle_prox_pallas(xs, jnp.float32(0.5), 25)
+    assert fb.shape == xs.shape and stb.iters.shape == (B,)
+    for i in range(B):
+        fi, sti = chambolle_prox_pallas(xs[i], jnp.float32(0.5), 25)
+        assert float(jnp.max(jnp.abs(fb[i] - fi))) == 0.0
+        assert int(stb.iters[i]) == int(sti.iters)
+
+
+@requires_tpu
+def test_fused_step_batched_grid():
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+
+    B = 3
+    ks = jax.random.split(jax.random.key(1), 4)
+    x = jax.random.uniform(ks[0], (B, 256, 256), jnp.float32) * 255
+    prox_c = x + jax.random.normal(ks[1], x.shape) * 0.1
+    gradf = jax.random.normal(ks[2], x.shape) * 0.01
+    z = jax.random.normal(ks[3], x.shape)
+    g, l, lt = jnp.float32(1.9), jnp.float32(2.0), jnp.float32(0.02)
+
+    xb, pb, tvb = myula_prox_tv(x, prox_c, gradf, z, g, l, lt, 25)
+    assert tvb.shape == (B,)
+    for i in range(B):
+        xi, pi, tvi = myula_prox_tv(x[i], prox_c[i], gradf[i], z[i], g, l, lt, 25)
+        assert float(jnp.max(jnp.abs(xb[i] - xi))) == 0.0
+        assert float(jnp.max(jnp.abs(pb[i] - pi))) == 0.0
+        np.testing.assert_allclose(float(tvb[i]), float(tvi), rtol=1e-6)
+
+
+@requires_tpu
+def test_pallas_options_run_through_estimator_multichain():
+    """use_pallas_prox / use_fused_step must work at n_chains > 1 through the
+    full SAPG step (regression: vmapped pallas_call used to crash here)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+    from semiblind_tv_tpu.sapg.estimator import make_sapg_step
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    for mods in ({"use_pallas_prox": True}, {"use_fused_step": True}):
+        cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+        cfg = dataclasses.replace(cfg, sapg=dataclasses.replace(cfg.sapg, **mods))
+        problem = build_problem(synthetic_wheel(256), cfg, jax.random.key(0),
+                                dtype=jnp.float32)
+        step, aux = make_sapg_step(problem, n_chains=4)
+        theta0 = jnp.float32(cfg.theta.init)
+        sigma0 = problem.sigma2_init.astype(jnp.float32)
+        params0 = {k: jnp.float32(v) for k, v in cfg.init_psf_params().items()}
+        X0 = jnp.broadcast_to(problem.y, (4, 256, 256))
+        prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
+        keys = jax.random.split(jax.random.key(1), 4)
+        carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
+        (carry2, trace) = jax.jit(step)(carry, jnp.float32(2.0))
+        assert np.isfinite(float(trace["logPi"]))
