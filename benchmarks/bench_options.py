@@ -28,7 +28,10 @@ def measure(variant: str, n_chains: int) -> float:
     from semiblind_tv_tpu.sapg.estimator import make_sapg_step
     from semiblind_tv_tpu.utils import synthetic_wheel
 
-    cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    fixed_w = variant.startswith("fixedw_")
+    if fixed_w:
+        variant = variant[len("fixedw_"):]
+    cfg = gaussian_preset(fix_w1=fixed_w, fix_w2=fixed_w)
     mods = {}
     if variant == "fused":
         mods["use_fused_step"] = True
@@ -68,7 +71,7 @@ def measure(variant: str, n_chains: int) -> float:
 def main():
     configs = os.environ.get("BENCH_OPT_CONFIGS", "default:8,fused:8").split(",")
     for spec in configs:
-        variant, chains = spec.strip().split(":")
+        variant, chains = spec.strip().rsplit(":", 1)
         try:
             ips = measure(variant, int(chains))
             print(json.dumps({

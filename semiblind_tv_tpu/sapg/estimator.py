@@ -148,11 +148,19 @@ def make_general_sapg_step(
     psf_names = tuple(s.name for s in psf_specs)
     d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
 
+    # only non-fixed params need OTF gradients; with every PSF param pinned
+    # (the reference's published Gaussian config, run_Gaussian_demo.m:42-43)
+    # the OTF is a loop constant and the per-iteration kernel+DFT matmul is
+    # hoisted out of the scan entirely (H0_c below is a host-side closure
+    # constant, like the warm-up's)
+    free_names = tuple(s.name for s in psf_specs if not s.fix)
+    all_fixed = not free_names
+
     def otfs(params):
         k, dks = model.kernel_and_grads(params)
-        stack = jnp.stack([k] + [dks[n] for n in psf_names])
+        stack = jnp.stack([k] + [dks[n] for n in free_names])
         Hs = blur.otf_batched(stack)  # one batched matmul pair for all OTFs
-        return Hs[0], {n: Hs[i + 1] for i, n in enumerate(psf_names)}
+        return Hs[0], {n: Hs[i + 1] for i, n in enumerate(free_names)}
 
     def pnorm2(Rhat):
         re, im = Rhat.real, Rhat.imag
@@ -203,7 +211,7 @@ def make_general_sapg_step(
     def step(carry, ii, consts):
         yhat, gam, lam = consts["yhat"], consts["gam"], consts["lam"]
         X, Xhat, prox, keys, theta, sigma2, params, extra = carry
-        H, dHs = otfs(params)
+        H, dHs = (H0_c, {}) if all_fixed else otfs(params)
         Rhat = H[None] * Xhat - yhat[None]
         gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
 
@@ -230,7 +238,11 @@ def make_general_sapg_step(
 
         G_t = reduce_stat(d / theta - tv)
         G_s = reduce_stat(res2 / (2.0 * sigma2**2) - d / (2.0 * sigma2))
-        G_p = {n: reduce_stat(pdot(dHs[n][None] * Xhatn, Rn) / sigma2) for n in psf_names}
+        # hyper-gradients only for free params (reference computes G_w only
+        # inside `if ~fix_w*`, SAPG_algorithm_Guassian.m:170-185); fixed
+        # params trace a zero gradient
+        G_p = {n: reduce_stat(pdot(dHs[n][None] * Xhatn, Rn) / sigma2) for n in free_names}
+        zero = jnp.zeros_like(G_t)
 
         delta_i = d_scale * ii.astype(dtype) ** (-sapg.d_exp) / d
         if sapg.theta_log_scale:
@@ -281,7 +293,7 @@ def make_general_sapg_step(
             gX=reduce_stat(tv),
             G_t=G_t,
             G_s=G_s,
-            **{f"G_{n}": G_p[n] for n in psf_names},
+            **{f"G_{n}": G_p.get(n, zero) for n in psf_names},
             **{n: params_n[n] for n in psf_names},
         )
         if sapg.track_posterior_moments:
