@@ -50,9 +50,13 @@ class SAPGConfig:
     lambda_scale: float = 1.0       # c.lam (run_Gaussian_demo.m:38)
     gamma_scale: float = 1.0        # c.gam (run_Gaussian_demo.m:39)
     use_pallas_prox: bool = False   # Pallas Chambolle kernel for the hot loop
-    use_fused_step: bool = False    # fused Pallas MYULA+prox+TV spatial
-                                    # kernel (TPU only; bit-identical X/prox,
-                                    # ~13% faster step — RESULTS.md)
+    use_fused_step: Optional[bool] = None
+                                    # fused Pallas MYULA+prox+TV spatial
+                                    # kernel, natively chain-batched.  None =
+                                    # auto: ON for TPU backends, OFF on CPU.
+                                    # Bit-identical to the unfused path and
+                                    # +9% at 1 chain / +33% at 16 chains on
+                                    # v5e (RESULTS.md)
     track_traces: bool = True       # record per-iteration diagnostics
     theta_log_scale: bool = False   # SAPG Algorithm-1 style eta=log(theta)
                                     # updates (SALSA/SAPG_algorithm_1.m:180-182);

@@ -148,6 +148,13 @@ def make_general_sapg_step(
     psf_names = tuple(s.name for s in psf_specs)
     d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
 
+    use_fused = sapg.use_fused_step
+    if use_fused is None:
+        # auto: the fused Mosaic kernel wins at every chain count on TPU
+        # (+9% at 1 chain, +33% at 16 — RESULTS.md); CPU (tests, dryruns)
+        # takes the pure-XLA path
+        use_fused = jax.default_backend() in ("tpu", "axon")
+
     # only non-fixed params need OTF gradients; with every PSF param pinned
     # (the reference's published Gaussian config, run_Gaussian_demo.m:42-43)
     # the OTF is a loop constant and the per-iteration kernel+DFT matmul is
@@ -216,7 +223,7 @@ def make_general_sapg_step(
         gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
 
         keys, Z = chain_noise(keys, X.shape[1:])
-        if sapg.use_fused_step:
+        if use_fused:
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
             # natively chain-batched kernel (grid of B programs) — no vmap
@@ -322,11 +329,21 @@ def make_general_sapg_step(
         Rhat = H0_c[None] * Xhat - yhat[None]
         gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
         keys, Z = chain_noise(keys, X.shape[1:])
-        Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
-        proxn, _ = prox_b(Xn, lam * theta0_c)
+        if use_fused:
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+
+            Xn, proxn, tv = myula_prox_tv(
+                X, prox, gradF, Z, gam, lam, lam * theta0_c,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=True,
+            )
+        else:
+            Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
+            proxn, _ = prox_b(Xn, lam * theta0_c)
+            tv = tv_b(Xn)
         Xhatn = jnp.fft.rfft2(Xn)
         res2 = pnorm2(H0_c[None] * Xhatn - yhat[None])
-        logpi = reduce_stat(-res2 / (2.0 * sigma0) - theta0_c * tv_b(Xn))
+        logpi = reduce_stat(-res2 / (2.0 * sigma0) - theta0_c * tv)
         return (Xn, Xhatn, proxn, keys), logpi
 
     aux = dict(
