@@ -84,13 +84,15 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     proxn_ref[0] = xn - lam_theta * div(px, py)
 
     # ---- circular-difference TV norm --------------------------------------
-    dh = xn - pltpu.roll(xn, 1, 1)
-    dv = xn - pltpu.roll(xn, 1, 0)
+    # circular shift-by-1 as concatenates (portable across Mosaic and
+    # interpret mode, unlike pltpu.roll)
+    dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
+    dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
     # whole-array SMEM output, one row per sequential grid program
     tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "positivity"))
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "interpret"))
 def myula_prox_tv(
     x: jnp.ndarray,
     prox_cache: jnp.ndarray,
@@ -103,15 +105,17 @@ def myula_prox_tv(
     tau: float = 0.249,
     tol: float = 1e-3,
     positivity: bool = True,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (x_new, prox_new, tv(x_new)) in one fused TPU kernel.
 
     Accepts (M, N) single-chain or (B, M, N) chain-batched fields; batched
     inputs run one program per chain (tv is then shape (B,))."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
         raise NotImplementedError(
             "use_fused_step requires a TPU backend (Mosaic kernel); on "
-            f"{jax.default_backend()!r} use the default unfused path"
+            f"{jax.default_backend()!r} use the default unfused path or "
+            "interpret=True"
         )
     squeeze = x.ndim == 2
     if squeeze:
@@ -143,6 +147,7 @@ def myula_prox_tv(
             img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=interpret,
     )(x, prox_cache, grad_f, z, scal)
     if squeeze:
         xn, proxn, tv = xn[0], proxn[0], tv[0]

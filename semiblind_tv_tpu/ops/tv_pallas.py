@@ -83,7 +83,7 @@ def _kernel(g_ref, scal_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_r
     meta_ref[i, 1] = err.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "interpret"))
 def chambolle_prox_pallas(
     g: jnp.ndarray,
     lam,
@@ -91,11 +91,13 @@ def chambolle_prox_pallas(
     tau: float = 0.249,
     tol: float = 1e-3,
     duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
     """Drop-in replacement for ops.tv.chambolle_prox backed by a Pallas kernel.
 
     Accepts a single (M, N) image or a (B, M, N) chain batch (grid of B
-    programs, duals VMEM-resident per program)."""
+    programs, duals VMEM-resident per program).  interpret=True runs the
+    kernel in Pallas interpret mode (CPU test coverage of the kernel math)."""
     squeeze = g.ndim == 2
     if squeeze:
         g = g[None]
@@ -133,6 +135,7 @@ def chambolle_prox_pallas(
             img_spec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=interpret,
     )(g, scal, px0, py0)
 
     iters = meta[:, 0].astype(jnp.int32)

@@ -1,0 +1,62 @@
+"""Pallas kernel math vs the XLA reference path, via interpret mode (CPU).
+
+The real-Mosaic bit-identity checks live in tests/test_tpu_only.py; these
+interpret-mode twins keep the kernel logic covered by the default CPU suite
+(same jaxpr, no Mosaic lowering).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_pallas
+from semiblind_tv_tpu.samplers.myula import myula_kernel_step
+
+
+def test_chambolle_interpret_matches_xla_single():
+    x = jax.random.normal(jax.random.key(0), (32, 32)) * 10
+    f1, st1 = chambolle_prox(x, 0.5, 25)
+    f2, st2 = chambolle_prox_pallas(x, 0.5, 25, interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-12, atol=1e-12)
+    assert int(st2.iters) <= 25
+
+
+def test_chambolle_interpret_batched_early_exit():
+    B = 3
+    xs = jnp.stack([
+        jax.random.normal(jax.random.key(i), (32, 32)) * (10.0 ** (i - 1))
+        for i in range(B)
+    ])
+    fb, stb = chambolle_prox_pallas(xs, 0.5, 25, interpret=True)
+    assert stb.iters.shape == (B,)
+    for i in range(B):
+        fi, sti = chambolle_prox(xs[i], 0.5, 25)
+        np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), rtol=1e-12, atol=1e-12)
+        assert int(stb.iters[i]) == int(sti.iters)
+
+
+def test_chambolle_interpret_warm_duals():
+    x = jax.random.normal(jax.random.key(5), (24, 24)) * 5
+    _, st = chambolle_prox(x, 0.3, 10)
+    f1, _ = chambolle_prox(x, 0.3, 10, duals=(st.px, st.py))
+    f2, _ = chambolle_prox_pallas(x, 0.3, 10, duals=(st.px, st.py), interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-12, atol=1e-12)
+
+
+def test_fused_step_interpret_matches_unfused():
+    ks = jax.random.split(jax.random.key(1), 4)
+    x = jax.random.uniform(ks[0], (3, 32, 32)) * 255
+    prox_c = x + jax.random.normal(ks[1], x.shape) * 0.1
+    gradf = jax.random.normal(ks[2], x.shape) * 0.01
+    z = jax.random.normal(ks[3], x.shape)
+    g, l, lt = 1.9, 2.0, 0.02
+
+    xb, pb, tvb = myula_prox_tv(x, prox_c, gradf, z, g, l, lt, 25, interpret=True)
+    assert tvb.shape == (3,)
+    for i in range(3):
+        xr = myula_kernel_step(x[i], prox_c[i], gradf[i], g, l, z[i], True)
+        pr, _ = chambolle_prox(xr, lt, 25)
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xr), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(pr), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(float(tvb[i]), float(tv_norm(xr)), rtol=1e-10)
