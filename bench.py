@@ -39,6 +39,11 @@ def bench_tpu():
         cfg = dataclasses.replace(
             cfg, sapg=dataclasses.replace(cfg.sapg, use_fused_step=True)
         )
+    fft_mode = os.environ.get("BENCH_FFT_MODE")
+    if fft_mode:
+        cfg = dataclasses.replace(
+            cfg, sapg=dataclasses.replace(cfg.sapg, fft_mode=fft_mode)
+        )
     problem = build_problem(
         synthetic_wheel(SIZE), cfg, jax.random.key(0), dtype=jnp.float32
     )
@@ -50,7 +55,8 @@ def bench_tpu():
     X0 = jnp.broadcast_to(problem.y, (N_CHAINS, SIZE, SIZE))
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
     keys = jax.random.split(jax.random.key(1), N_CHAINS)
-    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
+    Xhat0 = jax.jit(problem.blur.rfft)(X0)  # mode-consistent carry transform
+    carry = (X0, Xhat0, prox0, keys, theta0, sigma0, params0, {})
 
     @jax.jit
     def run(carry):

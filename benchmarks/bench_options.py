@@ -5,7 +5,7 @@ Usage (real TPU):
         timeout 590 python benchmarks/bench_options.py
 
 Each config is `variant:chains` with variant in {default, fused,
-pallas_prox}; one JSON line is printed per config.  Configs run serially in
+pallas_prox} optionally prefixed dft_ (matmul-DFT transforms); one JSON line is printed per config.  Configs run serially in
 one process (avoid concurrent remote compiles — CLAUDE.md).
 """
 import dataclasses
@@ -33,6 +33,9 @@ def measure(variant: str, n_chains: int) -> float:
         variant = variant[len("fixedw_"):]
     cfg = gaussian_preset(fix_w1=fixed_w, fix_w2=fixed_w)
     mods = {}
+    if variant.startswith("dft_"):       # e.g. dft_fused, dft_default
+        mods["fft_mode"] = "dft"
+        variant = variant[len("dft_"):]
     if variant == "fused":
         mods["use_fused_step"] = True
     elif variant == "pallas_prox":
@@ -51,7 +54,8 @@ def measure(variant: str, n_chains: int) -> float:
     X0 = jnp.broadcast_to(problem.y, (n_chains, SIZE, SIZE))
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
     keys = jax.random.split(jax.random.key(1), n_chains)
-    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
+    Xhat0 = jax.jit(problem.blur.rfft)(X0)  # mode-consistent carry transform
+    carry = (X0, Xhat0, prox0, keys, theta0, sigma0, params0, {})
 
     @jax.jit
     def run(carry):

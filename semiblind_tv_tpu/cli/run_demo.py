@@ -187,6 +187,8 @@ def main(argv=None):
                    help="MAP solver: salsa (demos) or fista (legacy my_deblur_fista)")
     p.add_argument("--no-fix-w", action="store_true",
                    help="gaussian: estimate w1/w2 instead of pinning to truth")
+    p.add_argument("--fft-mode", choices=["fft", "dft"], default=None,
+                   help="hot-loop transform backend: jnp.fft or matmul-DFT (MXU)")
     args = p.parse_args(argv)
 
     kwargs = {}
@@ -200,6 +202,8 @@ def main(argv=None):
         sapg_over["burn_in"] = (args.samples * 80) // 100
     if args.warmup is not None:
         sapg_over["warmup"] = args.warmup
+    if args.fft_mode is not None:
+        sapg_over["fft_mode"] = args.fft_mode
     if sapg_over:
         cfg = dataclasses.replace(cfg, sapg=dataclasses.replace(cfg.sapg, **sapg_over))
 

@@ -34,6 +34,9 @@ __all__ = [
     "rfft_weights",
     "parseval_dot",
     "parseval_norm_sq",
+    "rdft_matrices",
+    "rfft2_matmul",
+    "irfft2_matmul",
     "BlurOperator",
 ]
 
@@ -116,6 +119,96 @@ def parseval_norm_sq(ahat, weights, dim):
     return jnp.sum(weights * (re * re + im * im)) / dim
 
 
+def rdft_matrices(shape, dtype=jnp.float32):
+    """Real cos/sin factor matrices for matmul-based rfft2/irfft2.
+
+    The per-SAPG-iteration transform pair (irfft2 of the gradient, rfft2 of
+    the new sample) is latency-bound as an XLA FFT at 512² (RESULTS.md
+    component profile) while the MXU sits idle.  Expressing both transforms
+    as dense DFT matmuls trades ~3 GFLOP/chain/iter of MXU work for the FFT
+    launch+HBM latency — the classic TPU trade (FLOPs are cheap, latency is
+    not).  All matrices are built host-side in f64 and cast (compile-time
+    constants; some TPU runtimes lack eager transcendentals/complex).
+
+    Returns a dict of NumPy arrays for shape (M, N), Nh = N//2+1:
+      CN, SN   (N, Nh)   cos/sin(2π n k / N)        — forward rows
+      CM, SM   (M, M)    cos/sin(2π m k / M)        — forward/inverse cols
+                          (symmetric: entries depend only on the product mk)
+      WCT, WST (Nh, N)   w_k cos/sin(2π n k / N)/N  — inverse rows, with the
+                          rfft column-multiplicity weights w_k and the 1/N
+                          normalisation folded in
+    """
+    import numpy as np
+
+    M, N = shape
+    Nh = N // 2 + 1
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    n = np.arange(N)[:, None]
+    k = np.arange(Nh)[None, :]
+    ang_n = (2.0 * np.pi / N) * (n * k)
+    m = np.arange(M)[:, None]
+    km = np.arange(M)[None, :]
+    ang_m = (2.0 * np.pi / M) * (m * km)
+    w = 2.0 * np.ones((Nh, 1))
+    w[0, 0] = 1.0
+    if N % 2 == 0:
+        w[-1, 0] = 1.0
+    return dict(
+        CN=np.cos(ang_n).astype(np_dtype),
+        SN=np.sin(ang_n).astype(np_dtype),
+        CM=np.cos(ang_m).astype(np_dtype),
+        SM=np.sin(ang_m).astype(np_dtype),
+        WCT=(w * np.cos(ang_n).T / N).astype(np_dtype),
+        WST=(w * np.sin(ang_n).T / N).astype(np_dtype),
+    )
+
+
+def rfft2_matmul(x, mats, precision=jax.lax.Precision.HIGHEST):
+    """rfft2 of real x (..., M, N) via six real matmuls on the MXU.
+
+    Rows first with factor exp(-2πi nk/N) = CN - i·SN, then columns with the
+    symmetric (M, M) factor.  Equals jnp.fft.rfft2 to f32 matmul accuracy
+    (~1e-6 relative at 512² with HIGHEST precision — tested).
+    """
+    CN, SN, CM, SM = mats["CN"], mats["SN"], mats["CM"], mats["SM"]
+    yre = jnp.matmul(x, CN, precision=precision)
+    yim = -jnp.matmul(x, SN, precision=precision)
+    zre = (
+        jnp.einsum("km,...mn->...kn", CM, yre, precision=precision)
+        + jnp.einsum("km,...mn->...kn", SM, yim, precision=precision)
+    )
+    zim = (
+        jnp.einsum("km,...mn->...kn", CM, yim, precision=precision)
+        - jnp.einsum("km,...mn->...kn", SM, yre, precision=precision)
+    )
+    return jax.lax.complex(zre, zim)
+
+
+def irfft2_matmul(zhat, mats, precision=jax.lax.Precision.HIGHEST):
+    """irfft2 of a half-spectrum (..., M, N//2+1) via six real matmuls.
+
+    Inverse columns with exp(+2πi mk/M) = CM + i·SM (1/M folded in), then
+    hermitian-expanded inverse rows: for the conjugate column partner
+    k' = N−k, Re[e^{+2πi nk'/N} conj(Y_k)] = Re[e^{−2πi nk/N} (Yre−iYim)] =
+    cos·Yre − sin·Yim — identical to the k term, so the full-spectrum sum is
+    the weighted half-spectrum sum baked into WCT/WST.
+    """
+    CM, SM, WCT, WST = mats["CM"], mats["SM"], mats["WCT"], mats["WST"]
+    M = CM.shape[0]
+    zre, zim = zhat.real, zhat.imag
+    yre = (
+        jnp.einsum("mk,...kn->...mn", CM, zre, precision=precision)
+        - jnp.einsum("mk,...kn->...mn", SM, zim, precision=precision)
+    ) / M
+    yim = (
+        jnp.einsum("mk,...kn->...mn", CM, zim, precision=precision)
+        + jnp.einsum("mk,...kn->...mn", SM, zre, precision=precision)
+    ) / M
+    return jnp.matmul(yre, WCT, precision=precision) - jnp.matmul(
+        yim, WST, precision=precision
+    )
+
+
 class BlurOperator:
     """Circular convolution A (and A^T) as an rfft-diagonal multiply.
 
@@ -124,7 +217,7 @@ class BlurOperator:
     Parseval weights; the OTF is passed in (it changes every SAPG step).
     """
 
-    def __init__(self, shape, psf_size: int, dtype=jnp.float32):
+    def __init__(self, shape, psf_size: int, dtype=jnp.float32, fft_mode: str = "fft"):
         self.shape = tuple(shape)
         self.psf_size = int(psf_size)
         self.dtype = dtype
@@ -132,6 +225,14 @@ class BlurOperator:
         self.factors = dft_factors(psf_size, shape, cplx)
         self.weights = rfft_weights(shape, dtype)
         self.dim = self.shape[0] * self.shape[1]
+        # fft_mode: 'fft' = jnp.fft (exact, CPU/test default); 'dft' = dense
+        # DFT matmuls on the MXU (rdft_matrices docstring) — the hot-loop
+        # transforms become batched matmuls that XLA can overlap with the
+        # rest of the step instead of serialized FFT launches.
+        if fft_mode not in ("fft", "dft"):
+            raise ValueError(f"fft_mode must be 'fft' or 'dft', got {fft_mode!r}")
+        self.fft_mode = fft_mode
+        self._rdft = rdft_matrices(shape, dtype) if fft_mode == "dft" else None
 
     def otf(self, kernel: jnp.ndarray) -> jnp.ndarray:
         return otf_rfft(kernel, self.shape, self.factors)
@@ -172,9 +273,13 @@ class BlurOperator:
         )
 
     def rfft(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fft_mode == "dft":
+            return rfft2_matmul(x, self._rdft)
         return jnp.fft.rfft2(x)
 
     def irfft(self, xhat: jnp.ndarray) -> jnp.ndarray:
+        if self.fft_mode == "dft":
+            return irfft2_matmul(xhat, self._rdft).astype(self.dtype)
         return jnp.fft.irfft2(xhat, s=self.shape).astype(self.dtype)
 
     def apply(self, x: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:

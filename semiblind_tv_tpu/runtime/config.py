@@ -50,6 +50,12 @@ class SAPGConfig:
     lambda_scale: float = 1.0       # c.lam (run_Gaussian_demo.m:38)
     gamma_scale: float = 1.0        # c.gam (run_Gaussian_demo.m:39)
     use_pallas_prox: bool = False   # Pallas Chambolle kernel for the hot loop
+    fft_mode: Optional[str] = None  # hot-loop transform backend: 'fft' =
+                                    # jnp.fft (exact), 'dft' = dense DFT
+                                    # matmuls on the MXU (ops/fourier.py::
+                                    # rdft_matrices — trades ~3 GFLOP/chain/
+                                    # iter for the FFT launch latency).
+                                    # None = auto (currently 'fft').
     use_fused_step: Optional[bool] = None
                                     # fused Pallas MYULA+prox+TV spatial
                                     # kernel, natively chain-batched.  None =

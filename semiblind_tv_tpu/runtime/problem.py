@@ -108,7 +108,9 @@ def build_problem(
     """Assemble a Problem from a ground-truth image and a DemoConfig."""
     x = jnp.asarray(x, dtype)
     model = make_psf_model(cfg, dtype)
-    blur = BlurOperator(x.shape, cfg.psf_size, dtype)
+    blur = BlurOperator(
+        x.shape, cfg.psf_size, dtype, fft_mode=cfg.sapg.fft_mode or "fft"
+    )
     d = x.size
 
     true_params = {k: jnp.asarray(v, dtype) for k, v in cfg.true_psf_params().items()}

@@ -237,7 +237,7 @@ def make_general_sapg_step(
             proxn, _ = prox_b(Xn, lam * theta)
             tv = None
 
-        Xhatn = jnp.fft.rfft2(Xn)
+        Xhatn = blur.rfft(Xn)
         Rn = H[None] * Xhatn - yhat[None]
         res2 = pnorm2(Rn)
         if tv is None:
@@ -341,7 +341,7 @@ def make_general_sapg_step(
             Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
             proxn, _ = prox_b(Xn, lam * theta0_c)
             tv = tv_b(Xn)
-        Xhatn = jnp.fft.rfft2(Xn)
+        Xhatn = blur.rfft(Xn)
         res2 = pnorm2(H0_c[None] * Xhatn - yhat[None])
         logpi = reduce_stat(-res2 / (2.0 * sigma0) - theta0_c * tv)
         return (Xn, Xhatn, proxn, keys), logpi
@@ -426,8 +426,12 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces, backend: str
     save_checkpoint_arrays(path, arrays, backend=backend)
 
 
-def _restore_checkpoint(path: str, like_carry, backend: str | None = None):
-    """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict])."""
+def _restore_checkpoint(path: str, like_carry, backend: str | None = None,
+                        rfft=jnp.fft.rfft2):
+    """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict]).
+
+    `rfft` recomputes the dropped Xhat and must match the run's transform
+    mode (blur.rfft) so a resumed trajectory equals an uninterrupted one."""
     _X, _Xh, _prox, like_keys, _t, _s, like_params, like_extra = like_carry
     z = load_checkpoint_arrays(path, backend=backend)
     X = jnp.asarray(z["X"])
@@ -439,7 +443,7 @@ def _restore_checkpoint(path: str, like_carry, backend: str | None = None):
     traces = {k[len("trace/"):]: z[k] for k in z if k.startswith("trace/")}
     extra = {k: jnp.asarray(z[f"extra/{k}"]) for k in like_extra}
     done = int(z["done_iters"])
-    carry = (X, jnp.fft.rfft2(X), prox, keys, theta, sigma2, params, extra)
+    carry = (X, rfft(X), prox, keys, theta, sigma2, params, extra)
     return carry, done, [traces]
 
 
@@ -491,7 +495,7 @@ def run_sapg(
     def _warm(X0, key):
         keys = jax.random.split(key, n_chains)
         prox0, _ = prox_b(X0, lam * theta0)
-        Xhat0 = jnp.fft.rfft2(X0)
+        Xhat0 = blur.rfft(X0)
         carry0 = (X0, Xhat0, prox0, keys)
         if n_warm > 0:
             carry0, logpi_wu = jax.lax.scan(
@@ -526,7 +530,8 @@ def run_sapg(
     seg_traces = []
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         carry, done_iters, saved_traces = _restore_checkpoint(
-            checkpoint_path, carry, backend=checkpoint_backend
+            checkpoint_path, carry, backend=checkpoint_backend,
+            rfft=jax.jit(blur.rfft),  # jit: eager complex is unimplemented on some TPU runtimes
         )
         start_ii += done_iters
         seg_traces.extend(saved_traces)

@@ -68,6 +68,47 @@ def test_parseval_odd_width(rng):
     np.testing.assert_allclose(got, np.sum(a * a), rtol=1e-10)
 
 
+def test_rfft2_matmul_matches_fft(rng):
+    for shape in [SHAPE, (16, 21), (8, 8)]:
+        mats = fourier.rdft_matrices(shape, jnp.float64)
+        x = rng.standard_normal(shape)
+        got = fourier.rfft2_matmul(jnp.asarray(x), mats)
+        want = np.fft.rfft2(x)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+        # batched
+        xb = rng.standard_normal((3,) + shape)
+        gotb = fourier.rfft2_matmul(jnp.asarray(xb), mats)
+        np.testing.assert_allclose(gotb, np.fft.rfft2(xb, axes=(-2, -1)),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_irfft2_matmul_matches_fft(rng):
+    for shape in [SHAPE, (16, 21), (8, 8)]:
+        mats = fourier.rdft_matrices(shape, jnp.float64)
+        zhat = np.fft.rfft2(rng.standard_normal(shape))
+        got = fourier.irfft2_matmul(jnp.asarray(zhat), mats)
+        want = np.fft.irfft2(zhat, s=shape)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        # general (non-hermitian-consistent) half-spectrum input must also
+        # agree — the hot loop feeds conj(H)*Rhat, not an exact rfft2 output
+        zb = (rng.standard_normal((2,) + (shape[0], shape[1] // 2 + 1))
+              + 1j * rng.standard_normal((2,) + (shape[0], shape[1] // 2 + 1)))
+        gotb = fourier.irfft2_matmul(jnp.asarray(zb), mats)
+        # oracle: embed into a full hermitian-symmetrized spectrum the way
+        # np.fft.irfft2 interprets a half-spectrum
+        wantb = np.fft.irfft2(zb, s=shape)
+        np.testing.assert_allclose(gotb, wantb, rtol=1e-9, atol=1e-11)
+
+
+def test_blur_operator_dft_mode_roundtrip(rng):
+    k = psf.gaussian_kernel(7, 0.4, 0.3, 0.0, dtype=jnp.float64)
+    blur = fourier.BlurOperator(SHAPE, 7, jnp.float64, fft_mode="dft")
+    H = blur.otf(k)
+    x = jnp.asarray(rng.standard_normal(SHAPE))
+    want = oracles.np_blur(np.asarray(x), oracles.np_otf(np.asarray(k), SHAPE))
+    np.testing.assert_allclose(blur.apply(x, H), want, rtol=1e-9, atol=1e-10)
+
+
 def test_corner_pad_translation():
     """The reference's corner-pad (no centering) shifts the image by the
     kernel centroid — reproduce: delta kernel at centre of a 7x7 support

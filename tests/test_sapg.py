@@ -118,6 +118,30 @@ def test_moffat_short_run():
     assert set(res.psf_params_EB) == {"alpha", "beta"}
 
 
+def test_dft_mode_matches_fft_trajectory():
+    """fft_mode='dft' (matmul DFT hot loop) must reproduce the fft-mode
+    trajectory to f64 matmul accuracy — same math, different transform
+    backend (ops/fourier.py::rfft2_matmul)."""
+    import dataclasses
+
+    cfg = _short(gaussian_preset(fix_w1=False, fix_w2=False))
+    cfg_dft = dataclasses.replace(
+        cfg, sapg=dataclasses.replace(cfg.sapg, fft_mode="dft")
+    )
+    x = _image()
+    res_fft = run_sapg(build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64),
+                       jax.random.key(2))
+    res_dft = run_sapg(build_problem(x, cfg_dft, jax.random.key(1), dtype=jnp.float64),
+                       jax.random.key(2))
+    np.testing.assert_allclose(res_dft.thetas, res_fft.thetas, rtol=1e-9)
+    np.testing.assert_allclose(res_dft.sigma2s, res_fft.sigma2s, rtol=1e-9)
+    np.testing.assert_allclose(res_dft.X_last, res_fft.X_last, rtol=1e-7, atol=1e-9)
+    for n in res_fft.psf_params_EB:
+        np.testing.assert_allclose(
+            res_dft.psf_param_traces[n], res_fft.psf_param_traces[n], rtol=1e-9
+        )
+
+
 def test_multi_chain_runs():
     res = _run_family(_short(gaussian_preset(fix_w1=False, fix_w2=False)), n_chains=3)
     assert res.X_last.shape[0] == 3
