@@ -55,7 +55,9 @@ class SAPGConfig:
                                     # matmuls on the MXU (ops/fourier.py::
                                     # rdft_matrices — trades ~3 GFLOP/chain/
                                     # iter for the FFT launch latency).
-                                    # None = auto (currently 'fft').
+                                    # None = auto: 'dft' on TPU backends
+                                    # (faster at every chain count —
+                                    # RESULTS.md), 'fft' on CPU.
     use_fused_step: Optional[bool] = None
                                     # fused Pallas MYULA+prox+TV spatial
                                     # kernel, natively chain-batched.  None =

@@ -108,9 +108,13 @@ def build_problem(
     """Assemble a Problem from a ground-truth image and a DemoConfig."""
     x = jnp.asarray(x, dtype)
     model = make_psf_model(cfg, dtype)
-    blur = BlurOperator(
-        x.shape, cfg.psf_size, dtype, fft_mode=cfg.sapg.fft_mode or "fft"
-    )
+    fft_mode = cfg.sapg.fft_mode
+    if fft_mode is None:
+        # auto: the matmul-DFT transforms win at every chain count on TPU
+        # (2316 vs 1843 chain-iter/s at 1 chain, 5033 vs 4300 at 16 —
+        # RESULTS.md); jnp.fft is exact and stays the CPU/test default.
+        fft_mode = "dft" if jax.default_backend() in ("tpu", "axon") else "fft"
+    blur = BlurOperator(x.shape, cfg.psf_size, dtype, fft_mode=fft_mode)
     d = x.size
 
     true_params = {k: jnp.asarray(v, dtype) for k, v in cfg.true_psf_params().items()}
