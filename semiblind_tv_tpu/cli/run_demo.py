@@ -37,19 +37,22 @@ def run_demo(
     n_chains: int = 1,
     dtype=jnp.float32,
     solver: str = "salsa",
+    mesh=None,
 ):
     """Run the full experiment; returns a results dict mirroring the
     reference `results` struct plus final metrics.
 
     solver: 'salsa' (reference demos) or 'fista' (reference my_deblur_fista
-    legacy path) for the MAP solve."""
+    legacy path) for the MAP solve.
+    mesh: optional ('data','chains') Mesh — runs the complete SAPG pipeline
+    sharded over the mesh's chains axis (run_sapg's shard_map path)."""
     if key is None:
         key = jax.random.key(cfg.seed)
     k_prob, k_sapg = jax.random.split(key)
     problem = build_problem(image, cfg, k_prob, dtype=dtype)
 
     t0 = time.perf_counter()
-    sapg = run_sapg(problem, k_sapg, n_chains=n_chains)
+    sapg = run_sapg(problem, k_sapg, n_chains=n_chains, mesh=mesh)
     sapg_time = time.perf_counter() - t0
 
     theta_EB = sapg.theta_EB
@@ -189,6 +192,9 @@ def main(argv=None):
                    help="gaussian: estimate w1/w2 instead of pinning to truth")
     p.add_argument("--fft-mode", choices=["fft", "dft"], default=None,
                    help="hot-loop transform backend: jnp.fft or matmul-DFT (MXU)")
+    p.add_argument("--mesh", default=None, metavar="DxC",
+                   help="run the SAPG phase sharded on a data x chains device "
+                        "mesh, e.g. --mesh 1x8 (requires chains %% C == 0)")
     args = p.parse_args(argv)
 
     kwargs = {}
@@ -211,9 +217,19 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
+    mesh = None
+    if args.mesh is not None:
+        from semiblind_tv_tpu.parallel.mesh import make_mesh
+
+        d, c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=d, chains=c)
+        if args.chains % c != 0:
+            args.chains = c  # one chain per chains-shard by default
+
     image = load_image(args.image, args.image_dir, size=args.size)
     results, sapg, salsa, problem = run_demo(
-        cfg, image, n_chains=args.chains, dtype=dtype, solver=args.solver
+        cfg, image, n_chains=args.chains, dtype=dtype, solver=args.solver,
+        mesh=mesh,
     )
 
     print(json.dumps(results, indent=2))

@@ -51,11 +51,24 @@ from semiblind_tv_tpu.samplers.myula import myula_kernel_step
 
 __all__ = [
     "SAPGResult",
+    "SAPGDivergenceError",
     "run_sapg",
     "make_sapg_step",
     "make_general_sapg_step",
     "problem_consts",
+    "run_segmented_scan",
+    "assemble_result",
 ]
+
+
+class SAPGDivergenceError(RuntimeError):
+    """Raised by the fail-fast guard when a scan segment produces non-finite
+    traces (diverged chain / hardware fault) and no recovery is possible.
+
+    The reference has no failure handling at all (SURVEY.md §5 —
+    failure-detection row); this is new TPU-native supervision: a diverged
+    chain would otherwise silently burn the remaining iteration budget.
+    """
 
 
 @dataclasses.dataclass
@@ -400,13 +413,17 @@ def make_sapg_step(problem: Problem, n_chains: int, axis_name: Optional[str] = N
     return step, aux
 
 
-def _save_checkpoint(path: str, carry, done_iters: int, seg_traces, backend: str = "npz") -> None:
-    """Persist (carry, completed-iteration count, trace segments).
+def _save_checkpoint(path: str, carry, done_iters: int, seg_traces,
+                     logpi_wu, logpi0, backend: str = "npz") -> None:
+    """Persist (carry, completed-iteration count, trace segments, warm-up
+    trace).
 
     Xhat is complex and recomputable — dropped (some TPUs cannot copy
-    complex buffers to host); PRNG keys stored via key_data.  `backend`
-    selects NPZ (portable default) or Orbax (multi-host-coordinated) via
-    runtime.checkpoint.save_checkpoint_arrays.
+    complex buffers to host); PRNG keys stored via key_data.  The warm-up
+    trace (logpi_wu, logpi0) rides along so a resumed run can SKIP the
+    warm-up phase entirely (15k iterations — 43% of the reference budget).
+    `backend` selects NPZ (portable default) or Orbax
+    (multi-host-coordinated) via runtime.checkpoint.save_checkpoint_arrays.
     """
     X, _Xhat, prox, keys, theta, sigma2, params, extra = carry
     merged = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
@@ -418,6 +435,8 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces, backend: str
         theta=np.asarray(theta),
         sigma2=np.asarray(sigma2),
         done_iters=np.asarray(done_iters),
+        logpi_wu=np.asarray(logpi_wu),
+        logpi0=np.asarray(logpi0),
     )
     for k, v in params.items():
         arrays[f"param/{k}"] = np.asarray(v)
@@ -426,25 +445,203 @@ def _save_checkpoint(path: str, carry, done_iters: int, seg_traces, backend: str
     save_checkpoint_arrays(path, arrays, backend=backend)
 
 
-def _restore_checkpoint(path: str, like_carry, backend: str | None = None,
+def _restore_checkpoint(path: str, backend: str | None = None,
                         rfft=jnp.fft.rfft2):
-    """Inverse of _save_checkpoint; returns (carry, done_iters, [trace dict]).
+    """Inverse of _save_checkpoint; returns
+    (carry, done_iters, [trace dict], logpi_wu, logpi0).
 
     `rfft` recomputes the dropped Xhat and must match the run's transform
     mode (blur.rfft) so a resumed trajectory equals an uninterrupted one."""
-    _X, _Xh, _prox, like_keys, _t, _s, like_params, like_extra = like_carry
     z = load_checkpoint_arrays(path, backend=backend)
     X = jnp.asarray(z["X"])
     prox = jnp.asarray(z["prox"])
     keys = jax.random.wrap_key_data(jnp.asarray(z["keys"]))
     theta = jnp.asarray(z["theta"])
     sigma2 = jnp.asarray(z["sigma2"])
-    params = {k: jnp.asarray(z[f"param/{k}"]) for k in like_params}
+    params = {k[len("param/"):]: jnp.asarray(z[k]) for k in z if k.startswith("param/")}
     traces = {k[len("trace/"):]: z[k] for k in z if k.startswith("trace/")}
-    extra = {k: jnp.asarray(z[f"extra/{k}"]) for k in like_extra}
+    extra = {k[len("extra/"):]: jnp.asarray(z[k]) for k in z if k.startswith("extra/")}
     done = int(z["done_iters"])
     carry = (X, rfft(X), prox, keys, theta, sigma2, params, extra)
-    return carry, done, [traces]
+    return carry, done, [traces], z["logpi_wu"], z["logpi0"]
+
+
+def _traces_finite(tr) -> bool:
+    """Fail-fast divergence check on a segment's scalar traces."""
+    for name in ("logPi", "theta", "sigma2"):
+        if name in tr and not np.all(np.isfinite(tr[name])):
+            return False
+    return True
+
+
+def run_segmented_scan(
+    scan_seg,
+    carry,
+    samples: int,
+    *,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    save_fn=None,
+    restore_fn=None,
+    fault_hook=None,
+    nan_guard: bool = True,
+    max_restores: int = 1,
+):
+    """Drive the segmented main SAPG scan with checkpointing + supervision.
+
+    Shared between the single-device (`run_sapg`) and sharded
+    (`parallel.sapg_parallel.run_sapg_sharded`) estimators:
+
+      * segments the scan every `checkpoint_every` iterations and calls
+        `save_fn(carry, done_iters, seg_traces)` after each segment;
+      * resumes from an existing checkpoint via
+        `restore_fn() -> (carry, done_iters, [trace dicts])`;
+      * fail-fast NaN guard (new capability — SURVEY.md §5 failure-detection
+        row): if a segment's logPi/theta/sigma2 traces go non-finite (e.g. a
+        transient hardware fault corrupted the carry), auto-restores from the
+        last good checkpoint and re-runs, up to `max_restores` times, then
+        raises SAPGDivergenceError;
+      * `fault_hook(seg_idx, carry) -> carry` is the fault-injection point
+        used by the recovery tests (called before each segment).
+
+    Returns (carry, seg_traces) where seg_traces is a list of host-side
+    trace dicts (one per completed segment, resumed segments included).
+    """
+    seg_traces = []
+    start_ii = 2
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        carry, done, saved = restore_fn()
+        start_ii += done
+        seg_traces.extend(saved)
+
+    def _host(tr):
+        return jax.tree_util.tree_map(np.asarray, tr)
+
+    if checkpoint_every is None:
+        if start_ii <= samples:
+            carry, tr = scan_seg(carry, jnp.arange(start_ii, samples + 1))
+            tr = _host(tr)
+            if nan_guard and not _traces_finite(tr):
+                raise SAPGDivergenceError(
+                    f"non-finite SAPG traces in iterations [{start_ii}, {samples}] "
+                    "(no checkpoint to restore from)"
+                )
+            seg_traces.append(tr)
+        return carry, seg_traces
+
+    ii = start_ii
+    seg_idx = 0
+    restores = 0
+    while ii <= samples:
+        if fault_hook is not None:
+            carry = fault_hook(seg_idx, carry)
+        end = min(ii + checkpoint_every - 1, samples)
+        carry_try, tr = scan_seg(carry, jnp.arange(ii, end + 1))
+        tr = _host(tr)
+        seg_idx += 1
+        if nan_guard and not _traces_finite(tr):
+            can_restore = (
+                restores < max_restores
+                and checkpoint_path is not None
+                and os.path.exists(checkpoint_path)
+            )
+            if not can_restore:
+                raise SAPGDivergenceError(
+                    f"non-finite SAPG traces in iterations [{ii}, {end}]; "
+                    f"restores exhausted ({restores}/{max_restores})"
+                )
+            restores += 1
+            carry, done, saved = restore_fn()
+            seg_traces = list(saved)
+            ii = 2 + done
+            continue
+        carry = carry_try
+        seg_traces.append(tr)
+        ii = end + 1
+        if checkpoint_path is not None:
+            save_fn(carry, ii - 2, seg_traces)
+    return carry, seg_traces
+
+
+def assemble_result(
+    problem: Problem,
+    psf_names,
+    traces: Dict[str, np.ndarray],
+    logpi_wu: np.ndarray,
+    logpi0: float,
+    X_last: np.ndarray,
+    extra_out: Dict,
+    exec_time: float,
+) -> SAPGResult:
+    """Host-side post-processing of the scalar traces into the reference
+    `results` struct (SAPG_algorithm_Guassian.m:250-306).
+
+    Pure function of per-problem 1-D traces — shared by the single-device
+    and sharded estimators (the sharded runner slices its (T, D) traces per
+    problem and calls this per data-shard)."""
+    cfg = problem.cfg
+    sapg = cfg.sapg
+    burn_in = sapg.burn_in_resolved
+    params0 = cfg.init_psf_params()
+
+    def full_trace(name, init_val):
+        return np.concatenate([[init_val], traces[name]])
+
+    thetas = full_trace("theta", cfg.theta.init)
+    sigma2s = full_trace("sigma2", float(problem.sigma2_init))
+    psf_traces = {n: full_trace(n, float(params0[n])) for n in psf_names}
+
+    mean_thetas, tol_thetas, theta_EB = _running_window_stats(
+        thetas, burn_in, log_scale=sapg.theta_log_scale
+    )
+    mean_sigmas, tol_sigmas, sigma_EB = _running_window_stats(sigma2s, burn_in)
+    mean_psf, tol_psf, psf_EB = {}, {}, {}
+    for n in psf_names:
+        mean_psf[n], tol_psf[n], psf_EB[n] = _running_window_stats(psf_traces[n], burn_in)
+
+    err_psf = _psf_error_trace(problem, psf_traces)
+
+    logPiTrace = np.concatenate([[float(logpi0)], traces["logPi"]])
+    n_warm = len(logpi_wu)
+    logPiTrace_WU = (
+        np.concatenate([[0.0], np.asarray(logpi_wu)]) if n_warm > 0 else np.zeros(0)
+    )
+    # the reference stores g(X_ii) at index ii-1 and leaves the last slot 0
+    gX = np.concatenate([traces["gX"], [0.0]])
+
+    if sapg.track_posterior_moments and extra_out:
+        pm_mean = np.asarray(extra_out["pm_mean"])
+        cnt = float(extra_out["pm_count"])
+        pm_var = np.asarray(extra_out["pm_m2"]) / max(cnt - 1.0, 1.0)
+    else:
+        pm_mean = pm_var = None
+
+    return SAPGResult(
+        theta_EB=theta_EB,
+        sigma2_EB=sigma_EB,
+        psf_params_EB=psf_EB,
+        thetas=thetas,
+        sigma2s=sigma2s,
+        psf_param_traces=psf_traces,
+        logPiTrace=logPiTrace,
+        logPiTrace_warmup=logPiTrace_WU,
+        gX=gX,
+        grad_theta=np.concatenate([[0.0], traces["G_t"]]),
+        grad_sigma=np.concatenate([[0.0], traces["G_s"]]),
+        grad_psf={n: np.concatenate([[0.0], traces[f"G_{n}"]]) for n in psf_names},
+        mean_thetas=mean_thetas,
+        mean_sigma2s=mean_sigmas,
+        mean_psf=mean_psf,
+        tol_thetas=tol_thetas,
+        tol_sigma2s=tol_sigmas,
+        tol_psf=tol_psf,
+        err_psf=err_psf,
+        X_last=np.asarray(X_last),
+        last_samp=sapg.samples,
+        exec_time=exec_time,
+        posterior_mean=pm_mean,
+        posterior_var=pm_var,
+    )
 
 
 def run_sapg(
@@ -456,6 +653,10 @@ def run_sapg(
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_backend: str = "npz",
+    mesh=None,
+    fault_hook=None,
+    nan_guard: bool = True,
+    max_restores: int = 1,
 ) -> SAPGResult:
     """Run warm-up + SAPG and assemble the full diagnostics bundle.
 
@@ -464,7 +665,37 @@ def run_sapg(
     existing checkpoint at `checkpoint_path` resumes the run mid-way
     (identical trajectory to an uninterrupted run — tested).
     checkpoint_backend: "npz" (single-file, portable) or "orbax"
-    (directory per checkpoint, async multi-host-coordinated writes)."""
+    (directory per checkpoint, async multi-host-coordinated writes).
+
+    mesh: a ('data', 'chains') jax.sharding.Mesh (data axis size 1) routes
+    the ENTIRE run — warm-up, main scan, checkpointing, EB assembly —
+    through the shard_map production path with the n_chains chains sharded
+    over the mesh's chains axis.  Per-chain PRNG keys make the trajectory
+    equal to the single-device run up to cross-chain reduction order
+    (tested at 1e-12 relative in f64).
+
+    nan_guard/max_restores/fault_hook: fail-fast divergence supervision —
+    see run_segmented_scan."""
+    if mesh is not None:
+        from semiblind_tv_tpu.parallel.mesh import CHAINS_AXIS
+        from semiblind_tv_tpu.parallel.sapg_parallel import run_sapg_sharded
+
+        S = mesh.shape[CHAINS_AXIS]
+        if n_chains % S != 0:
+            raise ValueError(f"n_chains={n_chains} not divisible by mesh chains axis {S}")
+        return run_sapg_sharded(
+            [problem],
+            mesh,
+            key,
+            chains_per_shard=n_chains // S,
+            x0=x0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path,
+            checkpoint_backend=checkpoint_backend,
+            fault_hook=fault_hook,
+            nan_guard=nan_guard,
+            max_restores=max_restores,
+        )[0]
     cfg = problem.cfg
     sapg = cfg.sapg
     blur = problem.blur
@@ -521,36 +752,42 @@ def run_sapg(
     _main_seg = jax.jit(lambda c, iis: jax.lax.scan(step, c, iis))
 
     t0 = time.perf_counter()
-    carry, logpi_wu, logpi0 = jax.jit(_warm)(X0, key)
+    resume = checkpoint_path is not None and os.path.exists(checkpoint_path)
+    if resume:
+        # the checkpoint carries the warm-up trace — skip the warm-up phase
+        # entirely (it is 43% of the reference budget); restore_fn below
+        # supplies the carry
+        carry0 = logpi_wu = logpi0 = None
+    else:
+        carry0, logpi_wu, logpi0 = jax.jit(_warm)(X0, key)
 
-    # Optional mid-run checkpointing: segment the main scan so the carry can
-    # be persisted every `checkpoint_every` iterations and the run resumed
-    # (new capability; the reference has no mid-run checkpointing, SURVEY §5).
-    start_ii = 2
-    seg_traces = []
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        carry, done_iters, saved_traces = _restore_checkpoint(
-            checkpoint_path, carry, backend=checkpoint_backend,
+    def _restore():
+        nonlocal logpi_wu, logpi0
+        carry, done, traces, logpi_wu, logpi0 = _restore_checkpoint(
+            checkpoint_path, backend=checkpoint_backend,
             rfft=jax.jit(blur.rfft),  # jit: eager complex is unimplemented on some TPU runtimes
         )
-        start_ii += done_iters
-        seg_traces.extend(saved_traces)
-    if checkpoint_every is None:
-        if start_ii <= sapg.samples:
-            iis = jnp.arange(start_ii, sapg.samples + 1)
-            carry, tr = _main_seg(carry, iis)
-            seg_traces.append(jax.tree_util.tree_map(np.asarray, tr))
-    else:
-        ii = start_ii
-        while ii <= sapg.samples:
-            end = min(ii + checkpoint_every - 1, sapg.samples)
-            carry, tr = _main_seg(carry, jnp.arange(ii, end + 1))
-            seg_traces.append(jax.tree_util.tree_map(np.asarray, tr))
-            ii = end + 1
-            if checkpoint_path is not None:
-                _save_checkpoint(
-                    checkpoint_path, carry, ii - 2, seg_traces, backend=checkpoint_backend
-                )
+        return carry, done, traces
+
+    # Optional mid-run checkpointing + fail-fast supervision: the shared
+    # segmented driver persists the carry every `checkpoint_every` iterations,
+    # resumes from an existing checkpoint, and auto-restores on non-finite
+    # traces (new capability; the reference has neither, SURVEY §5).
+    carry, seg_traces = run_segmented_scan(
+        _main_seg,
+        carry0,
+        sapg.samples,
+        checkpoint_every=checkpoint_every,
+        checkpoint_path=checkpoint_path,
+        save_fn=lambda c, done, segs: _save_checkpoint(
+            checkpoint_path, c, done, segs, logpi_wu, logpi0,
+            backend=checkpoint_backend,
+        ),
+        restore_fn=_restore,
+        fault_hook=fault_hook,
+        nan_guard=nan_guard,
+        max_restores=max_restores,
+    )
     traces = (
         jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
         if len(seg_traces) > 1
@@ -561,65 +798,15 @@ def run_sapg(
 
     # ---- host-side post-processing (pure functions of the scalar traces) ----
     traces = jax.tree_util.tree_map(np.asarray, traces)
-    burn_in = sapg.burn_in_resolved
-
-    def full_trace(name, init_val):
-        return np.concatenate([[init_val], traces[name]])
-
-    thetas = full_trace("theta", cfg.theta.init)
-    sigma2s = full_trace("sigma2", float(problem.sigma2_init))
-    psf_traces = {n: full_trace(n, float(params0[n])) for n in psf_names}
-
-    mean_thetas, tol_thetas, theta_EB = _running_window_stats(
-        thetas, burn_in, log_scale=sapg.theta_log_scale
-    )
-    mean_sigmas, tol_sigmas, sigma_EB = _running_window_stats(sigma2s, burn_in)
-    mean_psf, tol_psf, psf_EB = {}, {}, {}
-    for n in psf_names:
-        mean_psf[n], tol_psf[n], psf_EB[n] = _running_window_stats(psf_traces[n], burn_in)
-
-    err_psf = _psf_error_trace(problem, psf_traces)
-
-    logPiTrace = np.concatenate([[float(logpi0)], traces["logPi"]])
-    logPiTrace_WU = (
-        np.concatenate([[0.0], np.asarray(logpi_wu)]) if n_warm > 0 else np.zeros(0)
-    )
-    # the reference stores g(X_ii) at index ii-1 and leaves the last slot 0
-    gX = np.concatenate([traces["gX"], [0.0]])
-
-    extra_out = carry[7]
-    if sapg.track_posterior_moments and extra_out:
-        pm_mean = np.asarray(extra_out["pm_mean"])
-        cnt = float(extra_out["pm_count"])
-        pm_var = np.asarray(extra_out["pm_m2"]) / max(cnt - 1.0, 1.0)
-    else:
-        pm_mean = pm_var = None
-
-    return SAPGResult(
-        theta_EB=theta_EB,
-        sigma2_EB=sigma_EB,
-        psf_params_EB=psf_EB,
-        thetas=thetas,
-        sigma2s=sigma2s,
-        psf_param_traces=psf_traces,
-        logPiTrace=logPiTrace,
-        logPiTrace_warmup=logPiTrace_WU,
-        gX=gX,
-        grad_theta=np.concatenate([[0.0], traces["G_t"]]),
-        grad_sigma=np.concatenate([[0.0], traces["G_s"]]),
-        grad_psf={n: np.concatenate([[0.0], traces[f"G_{n}"]]) for n in psf_names},
-        mean_thetas=mean_thetas,
-        mean_sigma2s=mean_sigmas,
-        mean_psf=mean_psf,
-        tol_thetas=tol_thetas,
-        tol_sigma2s=tol_sigmas,
-        tol_psf=tol_psf,
-        err_psf=err_psf,
-        X_last=np.asarray(carry[0]),
-        last_samp=sapg.samples,
-        exec_time=exec_time,
-        posterior_mean=pm_mean,
-        posterior_var=pm_var,
+    return assemble_result(
+        problem,
+        psf_names,
+        traces,
+        np.asarray(logpi_wu) if n_warm > 0 else np.zeros(0),
+        float(logpi0),
+        carry[0],
+        carry[7],
+        exec_time,
     )
 
 

@@ -22,7 +22,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 
 from semiblind_tv_tpu.parallel.mesh import make_mesh  # noqa: E402
-from semiblind_tv_tpu.parallel.sapg_parallel import run_sapg_sharded  # noqa: E402
+from semiblind_tv_tpu.parallel.sapg_parallel import run_sapg_sharded_steps  # noqa: E402
 from semiblind_tv_tpu.runtime import build_problem, gaussian_preset  # noqa: E402
 from semiblind_tv_tpu.utils import synthetic_wheel  # noqa: E402
 
@@ -32,7 +32,7 @@ assert len(jax.devices()) == 4, jax.devices()
 cfg = gaussian_preset(fix_w1=False, fix_w2=False)
 problem = build_problem(synthetic_wheel(32), cfg, jax.random.key(0))
 mesh = make_mesh(data=1, chains=4)
-state, thetas = run_sapg_sharded(
+state, thetas = run_sapg_sharded_steps(
     [problem], mesh, jax.random.key(1), chains_per_shard=2, n_steps=6
 )
 # gather the (replicated-on-chains, data-sharded) theta to every host
