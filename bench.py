@@ -1,15 +1,25 @@
-"""Benchmark: fused MYULA+TV-prox SAPG iteration throughput on one chip.
+"""Benchmark: SAPG iteration throughput + SALSA MAP latency on one chip.
 
-Prints ONE JSON line:
-  {"metric": "sapg_iters_per_sec_512", "value": N, "unit": "iter/s",
-   "vs_baseline": R}
+Prints ONE JSON line whose primary metric is the FLAGSHIP configuration —
+chain-batched SAPG throughput at 16 chains, 512², fused Pallas step +
+matmul-DFT transforms (the framework's headline lever):
+
+  {"metric": "sapg_chain_iters_per_sec_512_c16", "value": N,
+   "unit": "chain-iter/s", "vs_baseline": R,
+   "single_chain_iters_per_sec": N1, "salsa_map_512_330iter_s": S,
+   "cpu_ref_iters_per_sec": C}
 
 The reference publishes no numbers (BASELINE.md), so the baseline is the
 per-iteration cost of the reference algorithm measured here, on this host,
 with a NumPy implementation of the reference's per-iteration math
 (full-spectrum FFT A/Aᵀ + hyper-gradient FFTs + 25-iter Chambolle prox —
 the same work MATLAB does per iteration, backed by the same class of
-optimized CPU FFT/BLAS).  vs_baseline = tpu_iters_per_sec / cpu_ref_iters_per_sec.
+optimized CPU FFT/BLAS).  vs_baseline = flagship_chain_iters_per_sec /
+cpu_ref_iters_per_sec.
+
+Env knobs: BENCH_SIZE (512), BENCH_STEPS (200), BENCH_CHAINS (16 flagship),
+BENCH_FAST=1 skips the single-chain and SALSA extras.  A persistent XLA
+compile cache (.jax_cache/) makes repeat runs start in seconds.
 """
 import json
 import os
@@ -18,21 +28,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from semiblind_tv_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
-N_CHAINS = int(os.environ.get("BENCH_CHAINS", "1"))
+FLAGSHIP_CHAINS = int(os.environ.get("BENCH_CHAINS", "16"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "200"))
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
 
 
-def bench_tpu():
-    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
-    from semiblind_tv_tpu.sapg.estimator import make_sapg_step
-    from semiblind_tv_tpu.utils import synthetic_wheel
-
+def _problem():
     import dataclasses
+
+    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+    from semiblind_tv_tpu.utils import synthetic_wheel
 
     cfg = gaussian_preset(fix_w1=False, fix_w2=False)
     if os.environ.get("BENCH_FUSED", "0") == "1":
@@ -44,17 +58,23 @@ def bench_tpu():
         cfg = dataclasses.replace(
             cfg, sapg=dataclasses.replace(cfg.sapg, fft_mode=fft_mode)
         )
-    problem = build_problem(
+    return cfg, build_problem(
         synthetic_wheel(SIZE), cfg, jax.random.key(0), dtype=jnp.float32
     )
-    step, aux = make_sapg_step(problem, n_chains=N_CHAINS)
+
+
+def bench_sapg(cfg, problem, n_chains):
+    """Post-compile steady-state chain-iterations/sec of the SAPG hot loop."""
+    from semiblind_tv_tpu.sapg.estimator import make_sapg_step
+
+    step, aux = make_sapg_step(problem, n_chains=n_chains)
 
     theta0 = jnp.float32(cfg.theta.init)
     sigma0 = problem.sigma2_init.astype(jnp.float32)
     params0 = {k: jnp.float32(v) for k, v in cfg.init_psf_params().items()}
-    X0 = jnp.broadcast_to(problem.y, (N_CHAINS, SIZE, SIZE))
+    X0 = jnp.broadcast_to(problem.y, (n_chains, SIZE, SIZE))
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
-    keys = jax.random.split(jax.random.key(1), N_CHAINS)
+    keys = jax.random.split(jax.random.key(1), n_chains)
     Xhat0 = jax.jit(problem.blur.rfft)(X0)  # mode-consistent carry transform
     carry = (X0, Xhat0, prox0, keys, theta0, sigma0, params0, {})
 
@@ -68,7 +88,25 @@ def bench_tpu():
     t0 = time.perf_counter()
     carry = jax.block_until_ready(run(carry))
     dt = time.perf_counter() - t0
-    return N_STEPS * N_CHAINS / dt
+    return N_STEPS * n_chains / dt
+
+
+def bench_salsa(problem):
+    """512² MAP solve: 330 fixed outer iterations (the round-1 reference
+    point, RESULTS.md), post-compile wall seconds."""
+    from semiblind_tv_tpu.solvers import salsa_tv
+
+    def solve():
+        return salsa_tv(
+            problem.y, problem.H_true,
+            tau=0.1 * problem.sigma2_init, mu=0.01, blur=problem.blur,
+            max_iter=330, tol=0.0, tv_iters=10, x_true=problem.x_true,
+        )
+
+    solve()  # compile
+    t0 = time.perf_counter()
+    solve()
+    return time.perf_counter() - t0
 
 
 def bench_cpu_reference():
@@ -130,16 +168,23 @@ def bench_cpu_reference():
 
 
 def main():
-    tpu_rate = bench_tpu()
+    cfg, problem = _problem()
+    flagship_rate = bench_sapg(cfg, problem, FLAGSHIP_CHAINS)
+    extras = {}
+    if not FAST:
+        extras["single_chain_iters_per_sec"] = round(bench_sapg(cfg, problem, 1), 3)
+        extras["salsa_map_512_330iter_s"] = round(bench_salsa(problem), 3)
     # median of 3 to stabilise the host-load-sensitive CPU baseline
     cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
     print(
         json.dumps(
             {
-                "metric": f"sapg_iters_per_sec_{SIZE}",
-                "value": round(tpu_rate, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(tpu_rate / cpu_rate, 3),
+                "metric": f"sapg_chain_iters_per_sec_{SIZE}_c{FLAGSHIP_CHAINS}",
+                "value": round(flagship_rate, 3),
+                "unit": "chain-iter/s",
+                "vs_baseline": round(flagship_rate / cpu_rate, 3),
+                "cpu_ref_iters_per_sec": round(cpu_rate, 3),
+                **extras,
             }
         )
     )

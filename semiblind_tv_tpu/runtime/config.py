@@ -96,7 +96,8 @@ class SALSAConfig:
     stop_criterion: int = 1     # 1: rel-Δobjective, 2: rel-Δx, 3: objective target
     tv_iters: int = 10
     mu_factor: float = 0.1      # mu = theta_EB * mu_factor
-    use_pallas_prox: bool = False
+    use_pallas_prox: Optional[bool] = None  # auto: Pallas prox on TPU (one
+                                # launch per 10-sweep prox), XLA elsewhere
 
 
 @dataclasses.dataclass(frozen=True)

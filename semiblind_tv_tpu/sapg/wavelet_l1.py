@@ -28,8 +28,8 @@ import numpy as np
 
 from semiblind_tv_tpu.ops.fourier import BlurOperator
 from semiblind_tv_tpu.ops.wavelet import (
-    ti_haar_analysis,
-    ti_haar_synthesis,
+    ti_analysis,
+    ti_synthesis,
     uniform_blur_kernel,
 )
 
@@ -53,6 +53,9 @@ class WaveletL1Config:
     bsnr: float = 30.0
     blur_length: int = 9
     levels: int = 4
+    wavelet_order: int = 2             # daubcqf(N) filter length; 2 = the
+                                       # reference's Haar configuration
+                                       # (run_deblur_synthesis_L1.m:101)
     # SALSA MAP solve (run_deblur_synthesis_L1.m:160-183)
     salsa_iters: int = 500
     salsa_tol: float = 1e-4
@@ -100,16 +103,16 @@ def run_sapg_wavelet_l1(
     key, k_noise, k_chain = jax.random.split(key, 3)
 
     def B(v):
-        return blur.irfft(H * jnp.fft.rfft2(v))
+        return blur.irfft(H * blur.rfft(v))
 
     def BT(v):
-        return blur.irfft(np.conj(H) * jnp.fft.rfft2(v))
+        return blur.irfft(np.conj(H) * blur.rfft(v))
 
     def W(xw):
-        return ti_haar_synthesis(xw, L)
+        return ti_synthesis(xw, L, cfg.wavelet_order)
 
     def WT(v):
-        return ti_haar_analysis(v, L)
+        return ti_analysis(v, L, cfg.wavelet_order)
 
     setup = jax.jit(
         lambda x, k: (
@@ -133,7 +136,7 @@ def run_sapg_wavelet_l1(
     min_eta, max_eta = np.log(cfg.min_th), np.log(cfg.max_th)
 
     def gradF(xw):
-        rhat = H * jnp.fft.rfft2(W(xw)) - yhat
+        rhat = H * blur.rfft(W(xw)) - yhat
         return WT(blur.irfft(np.conj(H) * rhat)) / sigma2, rhat
 
     def logpi(rhat, g1, theta):
@@ -201,10 +204,10 @@ def _salsa_l1_synthesis(y, yhat, H, blur, W, WT, tau, mu, max_iter, tol, L, dtyp
     thresh = tau / mu
 
     def invLS(r):
-        return (r - WT(blur.irfft(filt * jnp.fft.rfft2(W(r))))) / mu
+        return (r - WT(blur.irfft(filt * blur.rfft(W(r))))) / mu
 
     def objective(xw, u):
-        rhat = jnp.asarray(yhat) - H * jnp.fft.rfft2(W(xw))
+        rhat = jnp.asarray(yhat) - H * blur.rfft(W(xw))
         re, im = rhat.real, rhat.imag
         res2 = jnp.sum(w * (re * re + im * im)) / d_img
         return 0.5 * res2 + tau * jnp.sum(jnp.abs(u))

@@ -82,7 +82,7 @@ def coral(
 
         un = prox1(x - bu, th1)
         vn = prox2(x - bv, th2)
-        rhat = jnp.asarray(ATy_hat) + jnp.fft.rfft2(mu1 * (un + bu) + mu2 * (vn + bv))
+        rhat = jnp.asarray(ATy_hat) + blur.rfft(mu1 * (un + bu) + mu2 * (vn + bv))
         xhat = inv_filter * rhat
         xn = blur.irfft(xhat)
         bun = bu + (un - xn)
@@ -183,7 +183,7 @@ def _coral_tv_l1_warm(y, H, tau1, tau2, blur, mu1, mu2, tv_iters, max_iter, tol,
         active = jnp.logical_not(done)
         un, st = chambolle_prox(x - bu, th1, tv_iters, duals=(pux, puy))
         vn = soft_threshold(x - bv, th2)
-        rhat = jnp.asarray(ATy_hat) + jnp.fft.rfft2(mu1 * (un + bu) + mu2 * (vn + bv))
+        rhat = jnp.asarray(ATy_hat) + blur.rfft(mu1 * (un + bu) + mu2 * (vn + bv))
         xhat = inv_filter * rhat
         xn = blur.irfft(xhat)
         bun = bu + (un - xn)

@@ -79,8 +79,8 @@ def csalsa_tv(
         active = jnp.logical_not(done)
 
         # Aᵀ(y + v + bv) and the LS solve, fused on the rfft grid
-        rhs_hat = jnp.fft.rfft2(m1 * (u + bu)) + m2 * jnp.conj(H) * (
-            jnp.asarray(yhat) + jnp.fft.rfft2(v + bv)
+        rhs_hat = blur.rfft(m1 * (u + bu)) + m2 * jnp.conj(H) * (
+            jnp.asarray(yhat) + blur.rfft(v + bv)
         )
         xhat = rhs_hat / (m2 * absH2 + m1)
         xn = blur.irfft(xhat)

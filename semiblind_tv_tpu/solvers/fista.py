@@ -72,11 +72,11 @@ def fista(
 
     def grad_step(v):
         # v − (1/L) Aᵀ(A v − y), fused on the rfft grid
-        vhat = jnp.fft.rfft2(v)
+        vhat = blur.rfft(v)
         return blur.irfft(vhat - (absH2 * vhat - ATy_hat) / L)
 
     def objective_of(x):
-        xhat = jnp.fft.rfft2(x)
+        xhat = blur.rfft(x)
         return 0.5 * pnorm2(yhat - H * xhat) + tau * phi(x)
 
     def body(carry, k):

@@ -95,10 +95,10 @@ def nesta(
     Atb = blur.irfft(np.conj(H) * jnp.asarray(bhat))
 
     def A(v):
-        return blur.irfft(H * jnp.fft.rfft2(v))
+        return blur.irfft(H * blur.rfft(v))
 
     def AtA(v):
-        return blur.irfft(absH2 * jnp.fft.rfft2(v))
+        return blur.irfft(absH2 * blur.rfft(v))
 
     grad = _smoothed_tv_grad if type_min == "tv" else _smoothed_l1_grad
 

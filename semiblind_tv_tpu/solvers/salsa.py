@@ -22,10 +22,20 @@ The LS step is fused in the frequency domain: Aᵀy is precomputed as
 conj(H)·ŷ on the rfft grid, so each outer iteration costs ONE rfft2 + ONE
 irfft2 (the reference spends 2 FFTs in invLS plus 2 more in the objective's
 A·x — we evaluate the residual by Parseval instead).
+
+COMPILE-ONCE DESIGN (the round-1 "25 ms/outer-iteration" mystery):
+measured on chip, every component of the outer iteration costs ~0.2 ms
+(RESULTS.md SALSA profile) — the 8.2 s solves were RE-COMPILATION, not
+execution: a per-call jitted closure retraced the 330-iteration scan on
+every invocation.  The scan now lives in ONE module-level jit with the OTF
+(re/im planes), τ, µ, tolerance and the data as *arguments* and `blur` /
+iteration counts as statics, so oracle sweeps and repeated MAP solves with
+different EB estimates all hit the same compiled program.
 """
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -55,47 +65,37 @@ class SALSAResult:
     op_counts: Dict[str, int]   # callcounter parity: applies of A / AT / invLS
 
 
-def salsa_tv(
-    y: jnp.ndarray,
-    H: jnp.ndarray,
-    tau,
-    mu,
-    blur: BlurOperator,
-    max_iter: int = 500,
-    tol: float = 1e-5,
-    tv_iters: int = 10,
-    stop_criterion: int = 1,
-    x_true: Optional[jnp.ndarray] = None,
-    use_pallas: bool = False,
-    chambolle_tau: float = 0.249,
-    chambolle_tol: float = 1e-3,
-) -> SALSAResult:
-    """TV-regularised SALSA with warm-started Chambolle duals.
+@partial(
+    jax.jit,
+    static_argnames=(
+        "blur", "max_iter", "tv_iters", "stop_criterion", "use_pallas",
+        "compute_mse", "chambolle_tau", "chambolle_tol",
+    ),
+)
+def _salsa_solve(
+    y, Hre, Him, tau, mu, tol, x_true,
+    blur, max_iter, tv_iters, stop_criterion, use_pallas, compute_mse,
+    chambolle_tau, chambolle_tol,
+):
+    """One compiled program for the whole solve (see module docstring).
 
-    Matches SALSA_v2 called as the demos call it: TVINITIALIZATION=1,
-    initialization x0 = 0 (SALSA_v2.m:379: x = AT(zeros) = 0 for this A).
-    """
+    `blur` is a static by object identity (BlurOperator is stateless apart
+    from cached factor matrices); all per-call quantities are traced inputs,
+    with the complex OTF carried as (re, im) planes — complex arrays must
+    not cross the host↔device boundary on all TPU runtimes."""
     dtype = blur.dtype
-    y = jnp.asarray(y, dtype)
     d = y.size
     w = blur.weights
-
-    # Precomputes stay host-side (NumPy): they are jit-closure constants and
-    # complex device buffers cannot be copied back to host on all TPUs.
-    H = np.asarray(H)  # pass a host NumPy H on TPU (e.g. blur.otf_host)
-    yhat = blur.rfft_host(y)
-    ATy_hat = np.conj(H) * yhat
-    absH2 = H.real**2 + H.imag**2
-    inv_filter = (1.0 / (absH2 + float(mu))).astype(absH2.dtype)
+    H = jax.lax.complex(Hre, Him)
+    yhat = blur.rfft(y)
+    ATy_hat = jnp.conj(H) * yhat
+    inv_filter = 1.0 / (Hre * Hre + Him * Him + mu)
     thresh = tau / mu
     norm_y2 = jnp.sum(y * y)
 
     def pnorm2(rhat):
         re, im = rhat.real, rhat.imag
         return jnp.sum(w * (re * re + im * im)) / d
-
-    compute_mse = x_true is not None
-    x_true_arr = jnp.asarray(x_true, dtype) if compute_mse else None
 
     def body(carry, k):
         x, u, bu, pux, puy, prev_obj, done, n_done = carry
@@ -111,7 +111,7 @@ def salsa_tv(
             use_pallas=use_pallas,
         )
         r = un + bu
-        rhat = jnp.fft.rfft2(r)
+        rhat = blur.rfft(r)
         xhat_n = inv_filter * (ATy_hat + mu * rhat)
         xn = blur.irfft(xhat_n)
         bun = bu + (un - xn)
@@ -149,7 +149,7 @@ def salsa_tv(
         done = jnp.logical_or(done, newly_done)
 
         mse = (
-            jnp.sum((x - x_true_arr) ** 2) / d if compute_mse else jnp.zeros((), dtype)
+            jnp.sum((x - x_true) ** 2) / d if compute_mse else jnp.zeros((), dtype)
         )
         trace = dict(
             objective=obj_out,
@@ -160,31 +160,69 @@ def salsa_tv(
         return (x, u, bu, pux, puy, obj_out, done, n_done), trace
 
     x0 = jnp.zeros_like(y)
-    u0 = jnp.zeros_like(y)
-    bu0 = jnp.zeros_like(y)
-    p0 = jnp.zeros_like(y)
-    obj0 = 0.5 * norm_y2  # resid = y − A·0
+    obj0 = (0.5 * norm_y2).astype(dtype)  # resid = y − A·0
     init = (
-        x0,
-        u0,
-        bu0,
-        p0,
-        p0,
-        obj0.astype(dtype),
+        x0, x0, x0, x0, x0, obj0,
         jnp.array(False),
         jnp.zeros((), jnp.int32),
     )
+    (x, *_rest, n_done), traces = jax.lax.scan(body, init, jnp.arange(max_iter))
+    return x, traces, n_done, obj0
 
-    def _solve(init):
-        return jax.lax.scan(body, init, jnp.arange(max_iter))
 
-    (x, u, bu, pux, puy, obj, done, n_done), traces = jax.jit(_solve)(init)
+def salsa_tv(
+    y: jnp.ndarray,
+    H: jnp.ndarray,
+    tau,
+    mu,
+    blur: BlurOperator,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    tv_iters: int = 10,
+    stop_criterion: int = 1,
+    x_true: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+    chambolle_tau: float = 0.249,
+    chambolle_tol: float = 1e-3,
+) -> SALSAResult:
+    """TV-regularised SALSA with warm-started Chambolle duals.
+
+    Matches SALSA_v2 called as the demos call it: TVINITIALIZATION=1,
+    initialization x0 = 0 (SALSA_v2.m:379: x = AT(zeros) = 0 for this A).
+
+    use_pallas=None → auto: the Mosaic Chambolle kernel on TPU (the
+    tv_iters dual-ascent sweeps become ONE launch with duals resident in
+    VMEM), pure-XLA elsewhere.  H may be a host NumPy OTF
+    (blur.otf_host) — it is passed into the compiled solve as re/im planes.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    dtype = blur.dtype
+    y = jnp.asarray(y, dtype)
+    d = y.size
+
+    H = np.asarray(H)
+    Hre = jnp.asarray(np.ascontiguousarray(H.real), dtype)
+    Him = jnp.asarray(np.ascontiguousarray(H.imag), dtype)
+
+    compute_mse = x_true is not None
+    x_true_arr = (
+        jnp.asarray(x_true, dtype) if compute_mse else jnp.zeros_like(y)
+    )
+
+    x, traces, n_done, obj0 = _salsa_solve(
+        y, Hre, Him,
+        jnp.asarray(tau, dtype), jnp.asarray(mu, dtype), jnp.asarray(tol, dtype),
+        x_true_arr,
+        blur, max_iter, tv_iters, stop_criterion, use_pallas, compute_mse,
+        chambolle_tau, chambolle_tol,
+    )
 
     traces = jax.tree_util.tree_map(np.asarray, traces)
     n_iters = int(n_done)
     mses = traces["mse"]
     if compute_mse:
-        mse0 = float(jnp.sum((x0 - x_true_arr) ** 2) / d)
+        mse0 = float(jnp.sum(jnp.asarray(x_true, dtype) ** 2) / d)
         mses = np.concatenate([[mse0], mses])
     # operator-apply accounting (reference callcounter/global calls,
     # run_Gaussian_demo.m:210-218): per outer iteration SALSA_v2 applies

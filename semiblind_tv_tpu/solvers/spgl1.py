@@ -61,10 +61,10 @@ def _make_ops(H, blur):
     absH2 = H.real**2 + H.imag**2
 
     def A(v):
-        return blur.irfft(H * jnp.fft.rfft2(v))
+        return blur.irfft(H * blur.rfft(v))
 
     def At(v):
-        return blur.irfft(np.conj(H) * jnp.fft.rfft2(v))
+        return blur.irfft(np.conj(H) * blur.rfft(v))
 
     return A, At, absH2
 
