@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=3000)
     p.add_argument("--burn-in", type=int, default=20)
     p.add_argument("--levels", type=int, default=4)
+    p.add_argument("--filter-order", type=int, default=2,
+                   help="daubcqf(N) Daubechies filter length (2 = Haar, the "
+                        "reference configuration)")
     p.add_argument("--blur-length", type=int, default=9)
     p.add_argument("--bsnr", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=1)
@@ -43,6 +46,7 @@ def main(argv=None):
         samples=args.samples,
         burn_in=args.burn_in,
         levels=args.levels,
+        wavelet_order=args.filter_order,
         blur_length=args.blur_length,
         bsnr=args.bsnr,
     )
@@ -54,6 +58,7 @@ def main(argv=None):
         "salsa_iters": res.salsa_iters,
         "samples": cfg.samples,
         "levels": cfg.levels,
+        "wavelet_order": cfg.wavelet_order,
     }
     print(json.dumps(out, indent=2))
     return out

@@ -41,3 +41,67 @@ def test_uniform_blur_kernel():
     h = np.zeros(16); h[:9] = 1 / 9.0
     h = np.roll(h, -4)
     np.testing.assert_allclose(k, np.outer(h, h))
+
+
+def test_daubcqf_reference_values():
+    """daubcqf(4) must equal the reference's documented example
+    (SALSA/daubcqf.m:19-24) to 4 decimals; daubcqf(2) is Haar."""
+    from semiblind_tv_tpu.ops.wavelet import daubcqf
+
+    h0, h1 = daubcqf(4)
+    np.testing.assert_allclose(h0, [0.4830, 0.8365, 0.2241, -0.1294], atol=1e-4)
+    np.testing.assert_allclose(h1, [0.1294, 0.2241, -0.8365, 0.4830], atol=1e-4)
+    np.testing.assert_allclose(daubcqf(2)[0], [1 / np.sqrt(2)] * 2, rtol=1e-12)
+    # 'max' phase is the time reversal (daubcqf.m:100-102)
+    np.testing.assert_allclose(daubcqf(4, "max")[0], h0[::-1], rtol=1e-12)
+    with pytest.raises(ValueError):
+        daubcqf(5)
+
+
+@pytest.mark.parametrize("order", [2, 4, 8])
+def test_daubcqf_orthonormal_cqf(order):
+    """Σh0 = √2, ‖h0‖ = 1, even-shift orthonormality, h1 ⊥ h0 shifts."""
+    from semiblind_tv_tpu.ops.wavelet import daubcqf
+
+    h0, h1 = daubcqf(order)
+    assert h0.sum() == pytest.approx(np.sqrt(2.0), rel=1e-12)
+    assert (h0**2).sum() == pytest.approx(1.0, rel=1e-10)
+    for m in range(1, order // 2):
+        assert np.dot(h0[: -2 * m], h0[2 * m :]) == pytest.approx(0.0, abs=1e-10)
+        assert np.dot(h1[: -2 * m], h1[2 * m :]) == pytest.approx(0.0, abs=1e-10)
+    assert np.dot(h0, h1) == pytest.approx(0.0, abs=1e-10)
+
+
+@pytest.mark.parametrize("order", [2, 4, 8])
+@pytest.mark.parametrize("levels", [1, 3])
+def test_general_order_tight_frame(rng, order, levels):
+    """W Wᵀ = I to 1e-10 at every order (the Sherman-Morrison requirement of
+    the wavelet-L1 SALSA solve) + adjointness of analysis/synthesis."""
+    from semiblind_tv_tpu.ops.wavelet import ti_analysis, ti_synthesis
+
+    x = rng.standard_normal((32, 32))
+    z = ti_analysis(jnp.asarray(x), levels, order)
+    assert z.shape == (32, 32 * (3 * levels + 1))
+    xr = ti_synthesis(z, levels, order)
+    np.testing.assert_allclose(xr, x, rtol=1e-10, atol=1e-10)
+    # adjointness <z2, WT x> == <W z2, x>
+    z2 = rng.standard_normal(z.shape)
+    lhs = float(jnp.sum(ti_analysis(jnp.asarray(x), levels, order) * z2))
+    rhs = float(jnp.sum(jnp.asarray(x) * ti_synthesis(jnp.asarray(z2), levels, order)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_wavelet_l1_db4_runs():
+    """The L1 experiment accepts a non-Haar filter order end-to-end."""
+    import jax
+
+    from semiblind_tv_tpu.sapg.wavelet_l1 import WaveletL1Config, run_sapg_wavelet_l1
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    cfg = WaveletL1Config(samples=30, burn_in=10, levels=2, wavelet_order=4,
+                          salsa_iters=20)
+    res = run_sapg_wavelet_l1(
+        synthetic_wheel(32), cfg, jax.random.key(0), dtype=jnp.float64
+    )
+    assert np.isfinite(res.theta_EB)
+    assert np.isfinite(res.mse_db)
