@@ -69,6 +69,34 @@ def oracle_sweep(
     return mses, float(thetas[i]), float(mses[i])
 
 
+def tau_sweep(problem, taus: Sequence[float], salsa_cfg, psf_params=None):
+    """Direct τ-grid sweep — the reference's `Tau_op` loop
+    (SALSA/salsa_m.m:234-280): SALSA is run at each raw τ (no θ·σ²
+    coupling), µ = τ·mu_factor, and the MSE-minimising oracle τ reported.
+    Returns (mses_db, oracle_tau, oracle_mse_db)."""
+    params = psf_params or {
+        k: jnp.asarray(v) for k, v in problem.cfg.true_psf_params().items()
+    }
+    H = problem.blur.otf_host(problem.model.kernel(params))
+    mses = []
+    for tau in taus:
+        res = salsa_tv(
+            problem.y,
+            H,
+            tau=float(tau),
+            mu=float(tau) * salsa_cfg.mu_factor,
+            blur=problem.blur,
+            max_iter=salsa_cfg.outer_iters,
+            tol=salsa_cfg.tol,
+            tv_iters=salsa_cfg.tv_iters,
+            x_true=problem.x_true,
+        )
+        mses.append(float(metrics.mse_db(problem.x_true, jnp.asarray(res.x))))
+    mses = np.asarray(mses)
+    i = int(np.argmin(mses))
+    return mses, float(taus[i]), float(mses[i])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--psf", choices=["gaussian", "laplace", "moffat"], default="gaussian")
@@ -84,6 +112,11 @@ def main(argv=None):
     p.add_argument("--sigma-grid", type=int, default=0,
                    help="also sweep sigma^2 over N log-spaced points "
                         "(salsa_m_sigma.m capability)")
+    p.add_argument("--tau-grid", type=int, default=0,
+                   help="also sweep raw tau directly over N log-spaced "
+                        "points, decoupled from theta (salsa_m.m Tau_op)")
+    p.add_argument("--tau-min", type=float, default=None)
+    p.add_argument("--tau-max", type=float, default=None)
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -124,6 +157,23 @@ def main(argv=None):
     if theta_EB is not None:
         eb_mses, _, _ = oracle_sweep(problem, [theta_EB], sigma2, cfg.salsa)
         out["eb_mse_db"] = float(eb_mses[0])
+
+    if args.tau_grid > 0:
+        # direct Tau_op sweep (salsa_m.m:234-280): raw tau, no theta*sigma2
+        # coupling; default range spans the theta box times sigma2_true
+        s2_true = float(problem.sigma_true) ** 2
+        t_lo = args.tau_min if args.tau_min is not None else cfg.theta.box[0] * s2_true
+        t_hi = args.tau_max if args.tau_max is not None else cfg.theta.box[1] * s2_true
+        tgrid = np.exp(np.linspace(np.log(t_lo), np.log(t_hi), args.tau_grid))
+        tmses, oracle_tau, oracle_tau_mse = tau_sweep(problem, tgrid, cfg.salsa)
+        out.update(
+            tau_grid=[float(t) for t in tgrid],
+            tau_mse_db_curve=[float(m) for m in tmses],
+            oracle_tau=oracle_tau,
+            oracle_tau_mse_db=oracle_tau_mse,
+        )
+        if theta_EB is not None:
+            out["tau_EB"] = float(theta_EB * sigma2)
 
     if args.sigma_grid > 0:
         # σ² sweep at the best theta (salsa_m_sigma.m:196-234 capability):

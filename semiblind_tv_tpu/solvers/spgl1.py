@@ -4,22 +4,26 @@ Re-design of the vendored reference `SALSA/spgl1_v0.m:1-893` (van den Berg
 & Friedlander's SPGL1; unused by the live demos but part of the solver-zoo
 capability surface).  Two entry points:
 
-  * spg_lasso: min ½‖Ax − b‖²  s.t.  ‖x‖₁ ≤ τ
+  * spg_lasso: min ½‖Ax − b‖²  s.t.  ‖Wx‖₁ ≤ τ
       projected Barzilai–Borwein gradient descent with a nonmonotone
-      (last-10) line search and exact sort-based L1-ball projection.
-  * spgl1_bpdn: min ‖x‖₁  s.t.  ‖Ax − b‖ ≤ σ
+      (last-10) line search and exact sort-based (weighted) L1-ball
+      projection.
+  * spgl1_bpdn: min ‖Wx‖₁  s.t.  ‖Ax − b‖ ≤ σ
       Newton root-finding on the Pareto curve φ(τ) = ‖r(τ)‖ with
-      φ'(τ) = −‖Aᵀr‖_∞ / ‖r‖  (the SPGL1 update
-      τ ← τ + ‖r‖(‖r‖ − σ)/‖Aᵀr‖_∞).
+      φ'(τ) = −‖W⁻¹Aᵀr‖_∞ / ‖r‖  (the SPGL1 update
+      τ ← τ + ‖r‖(‖r‖ − σ)/‖W⁻¹Aᵀr‖_∞; spgl1_v0.m's weighted-norm
+      options.weights surface).
+
+Operators: either the framework's rfft-diagonal blur (H + blur) or any
+generic (A, At) callable pair — e.g. a dense matrix for oracle tests.
 
 The inner solver is one fixed-trip lax.scan (masked early exit); each
-iteration costs one A and one Aᵀ apply on the rfft grid plus one sort for
-the projection.
+iteration costs one A and one Aᵀ apply plus one sort for the projection.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +31,13 @@ import numpy as np
 
 from semiblind_tv_tpu.ops.fourier import BlurOperator
 
-__all__ = ["SPGL1Result", "project_l1_ball", "spg_lasso", "spgl1_bpdn"]
+__all__ = [
+    "SPGL1Result",
+    "project_l1_ball",
+    "project_weighted_l1_ball",
+    "spg_lasso",
+    "spgl1_bpdn",
+]
 
 
 @dataclasses.dataclass
@@ -56,9 +66,38 @@ def project_l1_ball(v: jnp.ndarray, tau) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+def project_weighted_l1_ball(v: jnp.ndarray, tau, w: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean projection onto {x : Σ w_i|x_i| ≤ τ}, w_i > 0 (exact).
+
+    The minimizer is the weighted soft threshold
+    x_i = sign(v_i)·max(|v_i| − θ w_i, 0) with θ ≥ 0 the smallest value
+    satisfying Σ w_i max(|v_i| − θ w_i, 0) ≤ τ.  Sorting the breakpoints
+    z_i = |v_i|/w_i descending, on the active prefix of size k:
+    θ_k = (Σ_{i≤k} w_i|v_i| − τ) / Σ_{i≤k} w_i², valid while z_(k) > θ_k.
+    Reduces to project_l1_ball at w ≡ 1.
+    """
+    shape = v.shape
+    u = jnp.abs(v).ravel()
+    w = jnp.broadcast_to(jnp.asarray(w, v.dtype).ravel(), u.shape)
+    z = u / w
+    order = jnp.argsort(-z)
+    wu = (w * u)[order]
+    w2 = (w * w)[order]
+    zs = z[order]
+    cums_wu = jnp.cumsum(wu)
+    cums_w2 = jnp.cumsum(w2)
+    theta_cand = (cums_wu - tau) / cums_w2
+    ok = zs - theta_cand > 0
+    rho = jnp.max(jnp.where(ok, jnp.arange(u.size), -1))
+    theta = jnp.maximum((cums_wu[rho] - tau) / cums_w2[rho], 0.0)
+    inside = jnp.sum(w * u) <= tau
+    theta = jnp.where(inside, 0.0, theta)
+    out = jnp.sign(v).ravel() * jnp.maximum(u - theta * w, 0.0)
+    return out.reshape(shape)
+
+
 def _make_ops(H, blur):
     H = np.asarray(H)
-    absH2 = H.real**2 + H.imag**2
 
     def A(v):
         return blur.irfft(H * blur.rfft(v))
@@ -66,24 +105,42 @@ def _make_ops(H, blur):
     def At(v):
         return blur.irfft(np.conj(H) * blur.rfft(v))
 
-    return A, At, absH2
+    return A, At
+
+
+def _resolve_ops(H, blur, A_ops):
+    if A_ops is not None:
+        return A_ops
+    return _make_ops(H, blur)
 
 
 def spg_lasso(
     b: jnp.ndarray,
     H,
-    blur: BlurOperator,
+    blur: Optional[BlurOperator],
     tau: float,
     x0: Optional[jnp.ndarray] = None,
     max_iter: int = 200,
     tol: float = 1e-6,
     history: int = 10,
     max_ls: int = 10,
+    weights: Optional[jnp.ndarray] = None,
+    A_ops: Optional[Tuple[Callable, Callable]] = None,
 ):
-    """Inner LASSO solver; returns (x, resid_norm, grad, n_iters)."""
-    dtype = blur.dtype
+    """Inner LASSO solver; returns (x, resid_norm, grad, n_iters).
+
+    weights: optional positive per-coefficient weights — the constraint
+    becomes ‖Wx‖₁ ≤ τ (reference options.weights, spgl1_v0.m).
+    A_ops: optional (A, At) callables replacing the blur operator."""
+    dtype = blur.dtype if blur is not None else jnp.asarray(b).dtype
     b = jnp.asarray(b, dtype)
-    A, At, _ = _make_ops(H, blur)
+    A, At = _resolve_ops(H, blur, A_ops)
+
+    if weights is None:
+        project = lambda v: project_l1_ball(v, tau)
+    else:
+        wgt = jnp.asarray(weights, dtype)
+        project = lambda v: project_weighted_l1_ball(v, tau, wgt)
 
     def f_and_g(x):
         r = A(x) - b
@@ -100,14 +157,14 @@ def spg_lasso(
 
         def ls_cond(state):
             a, k = state
-            xn = project_l1_ball(x - a * g, tau)
+            xn = project(x - a * g)
             d = xn - x
             fn = 0.5 * jnp.sum((A(xn) - b) ** 2)
             suff = fn <= fmax + 1e-4 * jnp.sum(g * d)
             return jnp.logical_and(jnp.logical_not(suff), k < max_ls)
 
         a_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (alpha, 0))
-        xn = project_l1_ball(x - a_fin * g, tau)
+        xn = project(x - a_fin * g)
         fn, gn, _ = f_and_g(xn)
 
         s = xn - x
@@ -128,8 +185,8 @@ def spg_lasso(
         return carry, None
 
     if x0 is None:
-        x0 = jnp.zeros_like(b)
-    x0 = project_l1_ball(x0, tau)
+        x0 = jnp.zeros_like(b) if A_ops is None else jnp.zeros_like(At(b))
+    x0 = project(jnp.asarray(x0, dtype))
     f0, g0, r0 = f_and_g(x0)
     fbuf0 = jnp.full((history,), f0, dtype)
     alpha0 = 1.0 / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12)
@@ -144,26 +201,40 @@ def spg_lasso(
 def spgl1_bpdn(
     b: jnp.ndarray,
     H,
-    blur: BlurOperator,
+    blur: Optional[BlurOperator],
     sigma: float,
     max_newton: int = 10,
     inner_iter: int = 150,
     tol: float = 1e-3,
+    weights: Optional[jnp.ndarray] = None,
+    A_ops: Optional[Tuple[Callable, Callable]] = None,
 ) -> SPGL1Result:
-    """Basis pursuit denoise via Pareto-curve Newton iteration over tau."""
-    A, At, _ = _make_ops(H, blur)
+    """(Weighted) basis pursuit denoise via Pareto-curve Newton iteration.
+
+    min ‖Wx‖₁ s.t. ‖Ax − b‖ ≤ σ.  The Pareto derivative with weights is
+    φ'(τ) = −‖W⁻¹Aᵀr‖_∞/‖r‖ (the dual norm of the weighted one-norm),
+    giving the Newton update τ ← τ + ‖r‖(‖r‖ − σ)/‖W⁻¹Aᵀr‖_∞."""
+    dtype = blur.dtype if blur is not None else jnp.asarray(b).dtype
+    A, At = _resolve_ops(H, blur, A_ops)
+    b = jnp.asarray(b, dtype)
     tau = 0.0
-    x = jnp.zeros_like(jnp.asarray(b, blur.dtype))
+    x = jnp.zeros_like(b) if A_ops is None else jnp.zeros_like(At(b))
     resid = float(jnp.linalg.norm(b))
+    wgt = None if weights is None else jnp.asarray(weights, dtype)
     n_total = 0
     n_newton = 0
     for _ in range(max_newton):
         if resid <= sigma * (1.0 + tol):
             break
-        g_inf = float(jnp.max(jnp.abs(At(A(x) - jnp.asarray(b, blur.dtype)))))
-        g_inf = max(g_inf, 1e-12)
+        z = At(A(x) - b)
+        if wgt is not None:
+            z = z / wgt
+        g_inf = max(float(jnp.max(jnp.abs(z))), 1e-12)
         tau = tau + resid * (resid - sigma) / g_inf
-        x, r, _, n = spg_lasso(b, H, blur, tau, x0=x, max_iter=inner_iter)
+        x, r, _, n = spg_lasso(
+            b, H, blur, tau, x0=x, max_iter=inner_iter,
+            weights=weights, A_ops=A_ops,
+        )
         resid = float(r)
         n_total += n
         n_newton += 1

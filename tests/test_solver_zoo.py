@@ -191,3 +191,93 @@ def test_salsa_v1_matches_v2_at_one_inner_iter(rng):
     res_v2 = salsa(y, **kw)
     res_v1 = salsa_v1(y, **kw)
     np.testing.assert_allclose(res_v1.x, res_v2.x, rtol=1e-8, atol=1e-10)
+
+
+# ------------------- SPGL1 weighted-norm surface (spgl1_v0.m) ---------------
+
+def test_weighted_l1_projection_exact(rng):
+    """Sort-based weighted projection vs a brute-force bisection oracle,
+    and w=1 reduction to the unweighted projection."""
+    from semiblind_tv_tpu.solvers.spgl1 import project_weighted_l1_ball
+
+    v = rng.standard_normal(40) * 3.0
+    w = rng.random(40) + 0.2
+    tau = 5.0
+    out = np.asarray(project_weighted_l1_ball(jnp.asarray(v), tau, jnp.asarray(w)))
+    # oracle: bisect theta in sum_i w_i max(|v_i| - theta w_i, 0) = tau
+    lo, hi = 0.0, float(np.max(np.abs(v) / w)) + 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        s = np.sum(w * np.maximum(np.abs(v) - mid * w, 0.0))
+        lo, hi = (lo, mid) if s <= tau else (mid, hi)
+    ref = np.sign(v) * np.maximum(np.abs(v) - hi * w, 0.0)
+    np.testing.assert_allclose(out, ref, atol=1e-8)
+    assert np.sum(w * np.abs(out)) <= tau * (1 + 1e-10)
+    # w == 1 equals the unweighted projection
+    ones = jnp.ones(40)
+    np.testing.assert_allclose(
+        project_weighted_l1_ball(jnp.asarray(v), tau, ones),
+        project_l1_ball(jnp.asarray(v), tau),
+        atol=1e-12,
+    )
+
+
+def test_weighted_bpdn_dense_oracle_kkt(rng):
+    """Weighted BPDN on a dense matrix, verified against the problem's own
+    optimality conditions (the cvx-style certificate): at the solution of
+    min ‖Wx‖₁ s.t. ‖Ax−b‖ ≤ σ, the residual is on the σ-ball and the dual
+    vector z = Aᵀr satisfies |z_i| ≤ λ w_i with equality (and matching
+    sign) on the support, λ = ‖W⁻¹z‖_∞."""
+    m, n = 30, 80
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    x_true = np.zeros(n)
+    idx = rng.choice(n, 6, replace=False)
+    x_true[idx] = rng.standard_normal(6) * 3.0
+    b = A @ x_true + 0.01 * rng.standard_normal(m)
+    sigma = 0.05
+    w = rng.random(n) + 0.5
+
+    Aj = jnp.asarray(A)
+    ops = (lambda x: Aj @ x, lambda r: Aj.T @ r)
+    res = spgl1_bpdn(
+        jnp.asarray(b), None, None, sigma=sigma,
+        weights=jnp.asarray(w), A_ops=ops,
+        max_newton=20, inner_iter=500, tol=1e-4,
+    )
+    x = res.x
+    r = b - A @ x
+    # primal feasibility: residual lands on the sigma-ball
+    assert abs(np.linalg.norm(r) - sigma) / sigma < 2e-2
+    z = A.T @ r
+    lam = np.max(np.abs(z) / w)
+    on = np.abs(x) > 1e-6
+    assert on.any()
+    # stationarity on the support: z_i = lam * w_i * sign(x_i)
+    np.testing.assert_allclose(
+        z[on], lam * w[on] * np.sign(x[on]), rtol=0, atol=2e-2 * lam
+    )
+    # dual feasibility off the support comes from the lam definition
+    assert np.all(np.abs(z[~on]) <= lam * w[~on] + 1e-10)
+
+
+def test_weighted_bpdn_weights_reshape_solution(rng):
+    """Heavier weight on a coordinate suppresses it relative to the
+    unweighted solve (the purpose of the weighted surface)."""
+    m, n = 25, 50
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    x_true = np.zeros(n)
+    x_true[[3, 17, 31]] = [4.0, -3.0, 2.5]
+    b = A @ x_true
+    sigma = 1e-3 * np.linalg.norm(b)
+    Aj = jnp.asarray(A)
+    ops = (lambda x: Aj @ x, lambda r: Aj.T @ r)
+
+    res_plain = spgl1_bpdn(jnp.asarray(b), None, None, sigma=sigma,
+                           A_ops=ops, max_newton=20, inner_iter=500)
+    w = np.ones(n)
+    w[3] = 50.0  # make coordinate 3 expensive
+    res_w = spgl1_bpdn(jnp.asarray(b), None, None, sigma=sigma,
+                       weights=jnp.asarray(w), A_ops=ops,
+                       max_newton=20, inner_iter=500)
+    assert abs(res_plain.x[3]) > 1.0          # found by the plain solve
+    assert abs(res_w.x[3]) < abs(res_plain.x[3]) * 0.5  # suppressed by weight
