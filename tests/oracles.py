@@ -73,14 +73,22 @@ def np_tv(x):
 
 
 def _np_div(p1, p2):
-    u = np.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
-    v = np.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
-    return u + v
+    u = np.empty_like(p1)
+    u[0] = p1[0]
+    np.subtract(p1[1:-1], p1[:-2], out=u[1:-1])
+    np.negative(p1[-1], out=u[-1])
+    u[:, 0] += p2[:, 0]
+    u[:, 1:-1] += p2[:, 1:-1]
+    u[:, 1:-1] -= p2[:, :-2]
+    u[:, -1] -= p2[:, -1]
+    return u
 
 
 def _np_grad(u):
-    dux = np.concatenate([u[1:, :] - u[:-1, :], np.zeros((1, u.shape[1]))], axis=0)
-    duy = np.concatenate([u[:, 1:] - u[:, :-1], np.zeros((u.shape[0], 1))], axis=1)
+    dux = np.zeros_like(u)
+    np.subtract(u[1:], u[:-1], out=dux[:-1])
+    duy = np.zeros_like(u)
+    np.subtract(u[:, 1:], u[:, :-1], out=duy[:, :-1])
     return dux, duy
 
 
@@ -91,18 +99,24 @@ def np_chambolle(g, lam, max_iter, tau=0.249, tol=1e-3, duals=None):
         py = np.zeros_like(g)
     else:
         px, py = (d.copy() for d in duals)
+    g_over_lam = g / lam
     k = 0
     err = np.inf
     while True:
         k += 1
-        u = _np_div(px, py) - g / lam
+        u = _np_div(px, py)
+        u -= g_over_lam
         upx, upy = _np_grad(u)
         tmp = np.sqrt(upx**2 + upy**2)
         err = np.sqrt(
-            np.sum((-upx + tmp * px) ** 2 + (-upy + tmp * py) ** 2)
+            np.sum((tmp * px - upx) ** 2) + np.sum((tmp * py - upy) ** 2)
         )
-        px = (px + tau * upx) / (1 + tau * tmp)
-        py = (py + tau * upy) / (1 + tau * tmp)
+        tmp *= tau
+        tmp += 1.0
+        px += tau * upx
+        px /= tmp
+        py += tau * upy
+        py /= tmp
         if not (k < max_iter and err > tol):
             break
     f = g - lam * _np_div(px, py)
@@ -165,6 +179,227 @@ def np_sapg_gaussian_step(
     logpi = -np.sum(r**2) / (2 * sigma2) - theta * tv
     stats = dict(G_t=G_t, G_w1=G_w1, G_w2=G_w2, G_s=G_s, logPi=logpi, tv=tv)
     return Xn, proxn, theta_n, w1_n, w2_n, sigma_n, stats
+
+
+# ---------------------------------------------------------------------------
+# Reference-quirk PSF gradients (quotient rule over the normalisation)
+# ---------------------------------------------------------------------------
+
+def np_laplace_kernel_grads(size, b):
+    """Normalised Laplace kernel + reference-formula db grad
+    (diff_laplace_b.m:9-13, sums from sum_lap_psf.m)."""
+    v, u = grid(size)
+    absr = np.abs(v) + np.abs(u)
+    e = np.exp(-b * absr)
+    f = (b**2 / 4.0) * e
+    db = ((2.0 * b - b**2 * absr) / 4.0) * e
+    S, Sb = f.sum(), db.sum()
+    return f / S, (db * S - f * Sb) / S**2
+
+
+def np_moffat_kernel_grads(size, a, b):
+    """Normalised Moffat kernel + reference-formula grads.
+
+    dk/da reproduces the reference's factor-2 quirk verbatim
+    (diff_moffat_alpha.m:17: the second term's denominator carries a spurious
+    factor 2 relative to the exact derivative); dk/db is the exact formula
+    (diff_moffat_beta.m:18).  Sums per sum_mof_psf.m.
+    """
+    v, u = grid(size)
+    r2 = v**2 + u**2
+    base = r2 * a**2 / b + 1.0
+    pw = base ** (-(b + 2.0) / 2.0)
+    f = a**2 * pw / (2 * np.pi)
+    da = (2.0 - ((b + 2.0) * r2 * a**2) / (2.0 * (b + r2 * a**2))) * pw * (
+        a / (2 * np.pi)
+    )
+    db = (-np.log(base) + ((b + 2.0) * r2 * a**2) / (b * (b + r2 * a**2))) * pw * (
+        a**2 / (4 * np.pi)
+    )
+    S, Sa, Sb = f.sum(), da.sum(), db.sum()
+    k = f / S
+    dka = (da * S - f * Sa) / S**2
+    dkb = (db * S - f * Sb) / S**2
+    return k, dka, dkb
+
+
+# ---------------------------------------------------------------------------
+# Full SAPG dynamics simulator (independent NumPy re-implementation of the
+# reference estimators, used to certify PSF-parameter drift endpoints:
+# Laplace anchor SAPG_algorithm_laplace.m:130-215 + run_laplace_demo.m:96-145,
+# Moffat anchor SAPG_algorithm_moffat.m:135-205 + run_moffat_demo.m:122-185).
+# Different implementation (spatial-domain NumPy, full-spectrum fft2) and
+# different RNG stream than both MATLAB and the JAX package — agreement on
+# trajectory endpoints certifies *method* behavior, not implementation.
+# ---------------------------------------------------------------------------
+
+_DYNAMICS_FAMILIES = {
+    # name: (param names, inits, boxes, step consts, truth, bsnr range,
+    #        lambda_max, gamma multiplier, Lf aggregation over the sigma² box)
+    "laplace": dict(
+        params=("b",), inits=(0.1,), boxes=((1e-3, 1.0),),
+        c_params=(100.0,), c_theta=0.01, c_sigma2=10_000.0,
+        true_params=(0.3,), bsnr_range=(15.0, 45.0), lambda_max=0.1,
+        gamma_mult=10.0, lf_agg=max, evmax_params=(1.0,),
+        kernel_grads=lambda p, size: np_laplace_kernel_grads(size, p[0]),
+    ),
+    "moffat": dict(
+        params=("alpha", "beta"), inits=(1.0, 10.0),
+        boxes=((1e-2, 1.0), (0.1, 10.0)),
+        c_params=(10.0, 10_000.0), c_theta=0.1, c_sigma2=10_000.0,
+        true_params=(0.4, 3.5), bsnr_range=(18.0, 35.0), lambda_max=2.0,
+        gamma_mult=1.0, lf_agg=min, evmax_params=(1.0, 5.0),
+        kernel_grads=lambda p, size: np_moffat_kernel_grads(size, p[0], p[1]),
+    ),
+}
+
+
+def np_sapg_dynamics_run(
+    x, family, seed=0, samples=20_000, warmup=15_000, burn_in=None,
+    psf_size=7, bsnr=30.0, th_init=0.01, chambolle_iters=25,
+    theta_box=(1e-3, 1.0), d_exp=0.8, progress=None, fast=False,
+):
+    """Run the reference's full SAPG dynamics (warm-up + main loop + burn-in
+    EB means) for the Laplace or Moffat family on image ``x``.
+
+    ``fast=True`` composes A/Aᵀ in the frequency domain (one fft2 + ifft2
+    instead of four transforms per operator pair) — mathematically identical
+    for an exact FFT-diagonal operator, differing only in ~1e-16 rounding;
+    used for the long 512² certification runs.
+
+    Returns a dict with iterate traces and ``*_EB`` means, mirroring the
+    MATLAB ``results`` struct fields used for certification.
+    """
+    spec = _DYNAMICS_FAMILIES[family]
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, dtype=np.float64)
+    d = x.size
+    shape = x.shape
+    if burn_in is None:
+        burn_in = (samples * 80) // 100
+
+    def otfs(params):
+        k, *grads = spec["kernel_grads"](params, psf_size)
+        return np_otf(k, shape), [np_otf(g, shape) for g in grads]
+
+    # evMax via the reference's power iteration at its hard-coded probe params
+    # (run_moffat_demo.m:140 probes (1,5); run_laplace_demo.m:110 probes b=1)
+    H_probe, _ = otfs(spec["evmax_params"])
+    v = rng.standard_normal(shape)
+    v /= np.linalg.norm(v)
+    val, prev = 1.0, 1.0
+    for _ in range(10_000):
+        v = np_blur_adj(np_blur(v, H_probe), H_probe)
+        val = np.linalg.norm(v)
+        if abs(val - prev) / prev < 1e-4:
+            break
+        prev = val
+        v /= val
+    ev_max = val
+
+    # Observation synthesis at BSNR (run_laplace_demo.m:115-126)
+    H_true, _ = otfs(spec["true_params"])
+    Ax = np_blur(x, H_true)
+    pw = np.linalg.norm(Ax - Ax.mean())
+    sigma = pw / np.sqrt(d * 10 ** (bsnr / 10))
+    bsnr_lo, bsnr_hi = spec["bsnr_range"]
+    s_lo = pw / np.sqrt(d * 10 ** (bsnr_lo / 10))   # "sigma_min" (larger σ)
+    s_hi = pw / np.sqrt(d * 10 ** (bsnr_hi / 10))
+    sigma2_init = (s_lo**2 + s_hi**2) / 2.0
+    sigma2_box = (min(s_lo**2, s_hi**2), max(s_lo**2, s_hi**2))
+    y = Ax + sigma * rng.standard_normal(shape)
+
+    # MYULA constants (run_*_demo.m: λ=min(5/Lf,λmax); γ=frac·γmax, Laplace 10×)
+    lf = spec["lf_agg"](ev_max**2 / s_lo**2, ev_max**2 / s_hi**2)
+    lam = min(5.0 / lf, spec["lambda_max"])
+    gam = spec["gamma_mult"] * 0.98 / (lf + 1.0 / lam)
+    d_scale = 0.01 / th_init
+
+    clip = lambda v, box: min(max(v, box[0]), box[1])
+
+    # --- Warm-up at fixed hyperparameters (SAPG_algorithm_*.m warm loop) ----
+    params = list(spec["inits"])
+    H, dHs = otfs(params)
+    theta, sigma2 = th_init, sigma2_init
+    X = y.copy()
+    yhat = np.fft.fft2(y)
+
+    def grad_f(X, H, sigma2):
+        if fast:
+            Xhat = np.fft.fft2(X)
+            return np.real(
+                np.fft.ifft2(np.conj(H) * (H * Xhat - yhat))
+            ) / sigma2
+        return np_blur_adj(np_blur(X, H) - y, H) / sigma2
+
+    proxGX, _, _, _, _ = np_chambolle(X, lam * theta, chambolle_iters)
+    for ii in range(2, warmup + 1):
+        gradF = grad_f(X, H, sigma2)
+        X = np.abs(
+            X + gam * (proxGX - X) / lam - gam * gradF
+            + np.sqrt(2 * gam) * rng.standard_normal(shape)
+        )
+        proxGX, _, _, _, _ = np_chambolle(X, lam * theta, chambolle_iters)
+        if progress and ii % progress == 0:
+            print(f"warmup {ii}/{warmup}", flush=True)
+
+    # --- Main SAPG loop (SAPG_algorithm_moffat.m:160-205 structure) --------
+    thetas = np.zeros(samples + 1)
+    sigmas = np.zeros(samples + 1)
+    ptraces = {p: np.zeros(samples + 1) for p in spec["params"]}
+    logpis = np.zeros(samples + 1)
+    thetas[1], sigmas[1] = theta, sigma2
+    for j, p in enumerate(spec["params"]):
+        ptraces[p][1] = params[j]
+
+    for ii in range(2, samples + 1):
+        Z = rng.standard_normal(shape)
+        gradF = grad_f(X, H, sigma2)
+        X = np.abs(
+            X + gam * (proxGX - X) / lam - gam * gradF + np.sqrt(2 * gam) * Z
+        )
+        proxGX, _, _, _, _ = np_chambolle(X, lam * theta, chambolle_iters)
+
+        Xhat = np.fft.fft2(X)
+        r = np.real(np.fft.ifft2(H * Xhat)) - y
+        tv = np_tv(X)
+        G_t = d / theta - tv
+        G_ps = [
+            np.sum(np.real(np.fft.ifft2(dH * Xhat)) * r) / sigma2 for dH in dHs
+        ]
+        G_s = np.sum(r**2) / (2 * sigma2**2) - d / (2 * sigma2)
+        logpis[ii] = -np.sum(r**2) / (2 * sigma2) - theta * tv
+
+        delta = d_scale * ii ** (-d_exp) / d
+        theta = clip(theta + spec["c_theta"] * delta * G_t, theta_box)
+        for j, p in enumerate(spec["params"]):
+            params[j] = clip(
+                params[j] - spec["c_params"][j] * delta * G_ps[j], spec["boxes"][j]
+            )
+        sigma2 = clip(sigma2 + spec["c_sigma2"] * delta * G_s, sigma2_box)
+
+        thetas[ii], sigmas[ii] = theta, sigma2
+        for j, p in enumerate(spec["params"]):
+            ptraces[p][ii] = params[j]
+        H, dHs = otfs(params)
+        if progress and ii % progress == 0:
+            print(
+                f"sapg {ii}/{samples} theta={theta:.4g} "
+                + " ".join(f"{p}={ptraces[p][ii]:.4g}" for p in spec["params"])
+                + f" sigma2={sigma2:.4g}", flush=True,
+            )
+
+    out = dict(
+        thetas=thetas[1:], sigmas=sigmas[1:], logPiTrace=logpis[2:],
+        theta_EB=float(np.mean(thetas[burn_in:samples + 1])),
+        sigma2_EB=float(np.mean(sigmas[burn_in:samples + 1])),
+        sigma2_true=float(sigma**2), sigma2_init=float(sigma2_init),
+        lam=lam, gam=gam, ev_max=float(ev_max),
+    )
+    for p in spec["params"]:
+        out[p + "s"] = ptraces[p][1:]
+        out[p + "_EB"] = float(np.mean(ptraces[p][burn_in:samples + 1]))
+    return out
 
 
 # ---------------------------------------------------------------------------
