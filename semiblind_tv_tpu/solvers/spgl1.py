@@ -16,6 +16,11 @@ capability surface).  Two entry points:
 
 Operators: either the framework's rfft-diagonal blur (H + blur) or any
 generic (A, At) callable pair — e.g. a dense matrix for oracle tests.
+Complex data/operators are supported (spgl1_v0.m's complex surface): the
+one-norm is the modulus sum, the soft threshold preserves phases
+(jnp.sign(z) = z/|z|), and all line-search inner products are the real
+parts of hermitian products (`_rdot`), which reduce to the plain sums for
+real inputs.
 
 The inner solver is one fixed-trip lax.scan (masked early exit); each
 iteration costs one A and one Aᵀ apply plus one sort for the projection.
@@ -49,13 +54,23 @@ class SPGL1Result:
     n_newton: int
 
 
+def _rdot(a, b):
+    """Real inner product ⟨a, b⟩ (= Re Σ conj(a)·b); exact for real inputs."""
+    return jnp.real(jnp.sum(jnp.conj(a) * b))
+
+
 def project_l1_ball(v: jnp.ndarray, tau) -> jnp.ndarray:
-    """Euclidean projection onto {x : ‖x‖₁ ≤ τ} (sort-based, exact)."""
+    """Euclidean projection onto {x : ‖x‖₁ ≤ τ} (sort-based, exact).
+
+    Complex v is supported (spgl1_v0.m's complex-data surface): |·| is the
+    modulus and jnp.sign(z) = z/|z|, so the soft threshold shrinks moduli
+    while preserving phases — the exact projection for the complex one-norm.
+    """
     shape = v.shape
     u = jnp.abs(v).ravel()
     s = jnp.sort(u)[::-1]
     cums = jnp.cumsum(s)
-    k = jnp.arange(1, u.size + 1, dtype=v.dtype)
+    k = jnp.arange(1, u.size + 1, dtype=u.dtype)
     thresh_cand = (cums - tau) / k
     ok = s - thresh_cand > 0
     rho = jnp.max(jnp.where(ok, jnp.arange(u.size), -1))
@@ -78,7 +93,7 @@ def project_weighted_l1_ball(v: jnp.ndarray, tau, w: jnp.ndarray) -> jnp.ndarray
     """
     shape = v.shape
     u = jnp.abs(v).ravel()
-    w = jnp.broadcast_to(jnp.asarray(w, v.dtype).ravel(), u.shape)
+    w = jnp.broadcast_to(jnp.asarray(w, u.dtype).ravel(), u.shape)
     z = u / w
     order = jnp.argsort(-z)
     wu = (w * u)[order]
@@ -134,17 +149,18 @@ def spg_lasso(
     A_ops: optional (A, At) callables replacing the blur operator."""
     dtype = blur.dtype if blur is not None else jnp.asarray(b).dtype
     b = jnp.asarray(b, dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype
     A, At = _resolve_ops(H, blur, A_ops)
 
     if weights is None:
         project = lambda v: project_l1_ball(v, tau)
     else:
-        wgt = jnp.asarray(weights, dtype)
+        wgt = jnp.asarray(weights, rdtype)
         project = lambda v: project_weighted_l1_ball(v, tau, wgt)
 
     def f_and_g(x):
         r = A(x) - b
-        return 0.5 * jnp.sum(r * r), At(r), r
+        return 0.5 * _rdot(r, r), At(r), r
 
     def body(carry, _):
         x, g, f, alpha, fbuf, done, n_done = carry
@@ -159,8 +175,9 @@ def spg_lasso(
             a, k = state
             xn = project(x - a * g)
             d = xn - x
-            fn = 0.5 * jnp.sum((A(xn) - b) ** 2)
-            suff = fn <= fmax + 1e-4 * jnp.sum(g * d)
+            rn = A(xn) - b
+            fn = 0.5 * _rdot(rn, rn)
+            suff = fn <= fmax + 1e-4 * _rdot(g, d)
             return jnp.logical_and(jnp.logical_not(suff), k < max_ls)
 
         a_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (alpha, 0))
@@ -169,9 +186,9 @@ def spg_lasso(
 
         s = xn - x
         yv = gn - g
-        sy = jnp.sum(s * yv)
+        sy = _rdot(s, yv)
         alpha_n = jnp.where(
-            sy > 1e-12, jnp.clip(jnp.sum(s * s) / sy, 1e-6, 1e6), 1.0
+            sy > 1e-12, jnp.clip(_rdot(s, s) / sy, 1e-6, 1e6), 1.0
         )
         step = jnp.linalg.norm(s) / jnp.maximum(jnp.linalg.norm(xn), 1.0)
         newly = jnp.logical_and(step < tol, active)
@@ -188,7 +205,7 @@ def spg_lasso(
         x0 = jnp.zeros_like(b) if A_ops is None else jnp.zeros_like(At(b))
     x0 = project(jnp.asarray(x0, dtype))
     f0, g0, r0 = f_and_g(x0)
-    fbuf0 = jnp.full((history,), f0, dtype)
+    fbuf0 = jnp.full((history,), f0, rdtype)
     alpha0 = 1.0 / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12)
     init = (x0, g0, f0, alpha0, fbuf0, jnp.array(False), jnp.zeros((), jnp.int32))
     (x, g, f, _, _, _, n), _ = jax.jit(

@@ -281,3 +281,37 @@ def test_weighted_bpdn_weights_reshape_solution(rng):
                        max_newton=20, inner_iter=500)
     assert abs(res_plain.x[3]) > 1.0          # found by the plain solve
     assert abs(res_w.x[3]) < abs(res_plain.x[3]) * 0.5  # suppressed by weight
+
+
+def test_complex_bpdn_dense_oracle_kkt(rng):
+    """Complex-data BPDN (spgl1_v0.m's complex surface): modulus one-norm,
+    phase-preserving soft threshold, conjugate-transpose adjoint.  Verified
+    against the complex KKT certificate: on the support the dual vector
+    z = Aᴴr aligns with the coefficient phase, z_i = lam·w_i·x_i/|x_i|."""
+    m, n = 40, 100
+    A = (rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))) / np.sqrt(2 * m)
+    x_true = np.zeros(n, complex)
+    idx = rng.choice(n, 5, replace=False)
+    x_true[idx] = (rng.standard_normal(5) + 1j * rng.standard_normal(5)) * 3.0
+    b = A @ x_true + 0.01 * (rng.standard_normal(m) + 1j * rng.standard_normal(m))
+    sigma = 0.05
+
+    Aj = jnp.asarray(A)
+    ops = (lambda x: Aj @ x, lambda r: Aj.conj().T @ r)
+    res = spgl1_bpdn(
+        jnp.asarray(b), None, None, sigma=sigma, A_ops=ops,
+        max_newton=20, inner_iter=500, tol=1e-4,
+    )
+    x = res.x
+    assert np.iscomplexobj(x)
+    r = b - A @ x
+    assert abs(np.linalg.norm(r) - sigma) / sigma < 2e-2
+    z = A.conj().T @ r
+    lam = np.max(np.abs(z))
+    on = np.abs(x) > 1e-6
+    assert on.any()
+    np.testing.assert_allclose(
+        z[on], lam * x[on] / np.abs(x[on]), rtol=0, atol=3e-2 * lam
+    )
+    # the planted support is recovered
+    assert set(idx) <= set(np.flatnonzero(np.abs(x) > 1e-3))
