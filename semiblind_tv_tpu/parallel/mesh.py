@@ -19,10 +19,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "DATA_AXIS", "CHAINS_AXIS"]
+__all__ = ["make_mesh", "make_spatial_mesh", "DATA_AXIS", "CHAINS_AXIS", "SPACE_AXIS"]
 
 DATA_AXIS = "data"
 CHAINS_AXIS = "chains"
+SPACE_AXIS = "space"
 
 
 def make_mesh(
@@ -47,3 +48,12 @@ def make_mesh(
         raise ValueError(f"mesh {data}x{chains} != {n} devices")
     arr = np.asarray(devs).reshape(data, chains)
     return Mesh(arr, (DATA_AXIS, CHAINS_AXIS))
+
+
+def make_spatial_mesh(space: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D ('space',) mesh for row-sharded single-image processing
+    (images ≫ HBM — the SURVEY §5 long-context analog).  The image's first
+    axis is split into `space` contiguous row blocks, one per device."""
+    devs = list(devices if devices is not None else jax.devices())
+    space = len(devs) if space is None else space
+    return Mesh(np.asarray(devs[:space]), (SPACE_AXIS,))

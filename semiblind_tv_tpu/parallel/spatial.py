@@ -1,0 +1,368 @@
+"""Spatial (row-block) sharding: halo-exchanged TV stencils + 2-D-decomposed
+DFT transforms for images too large for one chip's HBM.
+
+The reference processes whole images per-op (`fft2` over the full 512² array,
+run_Gaussian_demo.m:136) and has no spatial decomposition anywhere; SURVEY §5
+names this the framework's long-context analog ("optional: 2-D FFT
+decomposition + halo-exchanged TV stencil for images ≫ HBM").  This module is
+that capability, TPU-native:
+
+  * The image's ROW axis is sharded over a 1-D ('space',) mesh
+    (parallel.mesh.make_spatial_mesh) — each device holds a contiguous
+    (M/S, N) row block.
+  * **TV stencils** (Neumann divergence / forward gradient of
+    chambolle_prox, circular differences of TVnorm) need exactly ONE row of
+    halo per sweep in each direction; the halos ride `jax.lax.ppermute`
+    over the mesh (ICI neighbor exchange, O(N) bytes per sweep — the
+    textbook stencil decomposition).
+  * **rfft2 / irfft2** use the matmul-DFT formulation (ops/fourier.py::
+    rdft_matrices): the row-transform is embarrassingly row-local, and the
+    column-transform is a (M, M) contraction over the sharded axis —
+    evaluated as a local partial matmul followed by `jax.lax.psum_scatter`
+    (reduce-scatter), so the result stays row-sharded and the only
+    cross-device traffic is the reduce-scatter itself.  No gather of the
+    full image ever happens.
+  * `spatial_salsa_tv` composes these into the complete SALSA MAP solve
+    (prox + frequency LS step + Parseval objective + stop criterion) as ONE
+    shard_map program over the mesh, numerically identical to
+    solvers.salsa.salsa_tv (tested on the virtual CPU mesh).
+  * `spatial_myula_step` is the row-sharded MYULA kernel (gradF through the
+    sharded transforms + the halo-exchanged prox), the building block for a
+    spatially-sharded sampler.
+
+All functions take `axis_name` and run *inside* shard_map over a mesh with
+that axis; `shard_rows`/`unshard_rows` are the host-side helpers that place
+a global array onto the mesh and back.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from semiblind_tv_tpu.parallel.mesh import SPACE_AXIS
+
+__all__ = [
+    "shard_rows",
+    "spatial_tv_norm",
+    "spatial_divergence",
+    "spatial_forward_gradient",
+    "spatial_chambolle_prox",
+    "spatial_rfft2",
+    "spatial_irfft2",
+    "spatial_blur_apply",
+    "spatial_salsa_tv",
+    "spatial_myula_step",
+]
+
+
+def shard_rows(x, mesh: Mesh, axis_name: str = SPACE_AXIS):
+    """Place a global (M, N) array row-sharded onto the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange primitives (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _row_from_above(x, axis_name):
+    """Previous shard's LAST row (zeros on the first shard)."""
+    S = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(S - 1)]
+    return jax.lax.ppermute(x[-1:, :], axis_name, perm)
+
+
+def _row_from_below(x, axis_name):
+    """Next shard's FIRST row (zeros on the last shard)."""
+    S = jax.lax.axis_size(axis_name)
+    perm = [(i + 1, i) for i in range(S - 1)]
+    return jax.lax.ppermute(x[:1, :], axis_name, perm)
+
+
+def _is_first(axis_name):
+    return jax.lax.axis_index(axis_name) == 0
+
+
+def _is_last(axis_name):
+    return jax.lax.axis_index(axis_name) == jax.lax.axis_size(axis_name) - 1
+
+
+# ---------------------------------------------------------------------------
+# TV stencils with halos (semantics of ops/tv.py on the GLOBAL image)
+# ---------------------------------------------------------------------------
+
+def spatial_tv_norm(x, axis_name: str = SPACE_AXIS):
+    """Circular-difference TV (utils/TVnorm.m) of the global image; the
+    circular row shift wraps across shards via a circular ppermute."""
+    S = jax.lax.axis_size(axis_name)
+    above_c = jax.lax.ppermute(
+        x[-1:, :], axis_name, [(i, (i + 1) % S) for i in range(S)]
+    )
+    xs = jnp.concatenate([above_c, x[:-1, :]], axis=0)
+    dh = x - jnp.roll(x, 1, axis=1)
+    dv = x - xs
+    return jax.lax.psum(jnp.sum(jnp.sqrt(dh * dh + dv * dv)), axis_name)
+
+
+def spatial_divergence(p1, p2, axis_name: str = SPACE_AXIS):
+    """Neumann divergence (ops/tv.divergence) of row-sharded dual fields.
+
+    Global row semantics: u[0] = p1[0]; u[i] = p1[i] − p1[i−1];
+    u[M−1] = −p1[M−1].  The i−1 row of the first local row is the previous
+    shard's last row; ppermute zero-fills shard 0, which IS the boundary
+    condition (u[0] = p1[0] − 0)."""
+    above = _row_from_above(p1, axis_name)
+    u = p1 - jnp.concatenate([above, p1[:-1, :]], axis=0)
+    last = jnp.where(_is_last(axis_name), -p1[-1, :], u[-1, :])
+    u = u.at[-1, :].set(last)
+    v = jnp.concatenate(
+        [p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1
+    )
+    return u + v
+
+
+def spatial_forward_gradient(u, axis_name: str = SPACE_AXIS):
+    """Forward differences, zero at the global last row/column
+    (ops/tv.forward_gradient)."""
+    below = _row_from_below(u, axis_name)
+    dux = jnp.concatenate([u[1:, :], below], axis=0) - u
+    dux = dux.at[-1, :].set(
+        jnp.where(_is_last(axis_name), jnp.zeros_like(u[-1, :]), dux[-1, :])
+    )
+    duy = jnp.concatenate(
+        [u[:, 1:] - u[:, :-1], jnp.zeros_like(u[:, :1])], axis=1
+    )
+    return dux, duy
+
+
+def spatial_chambolle_prox(
+    g,
+    lam,
+    max_iter: int,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    axis_name: str = SPACE_AXIS,
+):
+    """Halo-exchanged Chambolle dual ascent — identical math to
+    ops/tv.chambolle_prox on the global image (masked fixed-trip early exit,
+    warm-startable duals); per sweep: 2 one-row ppermutes + 1 scalar psum."""
+    if duals is None:
+        px = jnp.zeros_like(g)
+        py = jnp.zeros_like(g)
+    else:
+        px, py = duals
+    glam = g / lam
+
+    def body(_, carry):
+        px, py, k, err, active = carry
+        u = spatial_divergence(px, py, axis_name) - glam
+        upx, upy = spatial_forward_gradient(u, axis_name)
+        tmp = jnp.sqrt(upx * upx + upy * upy)
+        rx = -upx + tmp * px
+        ry = -upy + tmp * py
+        step_err = jnp.sqrt(
+            jax.lax.psum(jnp.sum(rx * rx + ry * ry), axis_name)
+        )
+        denom = 1.0 + tau * tmp
+        px = jnp.where(active, (px + tau * upx) / denom, px)
+        py = jnp.where(active, (py + tau * upy) / denom, py)
+        err = jnp.where(active, step_err, err)
+        k = k + active.astype(k.dtype)
+        active = jnp.logical_and(active, step_err > tol)
+        return px, py, k, err, active
+
+    init = (
+        px, py, jnp.zeros((), jnp.int32), jnp.array(jnp.inf, g.dtype),
+        jnp.array(True),
+    )
+    px, py, k, err, _ = jax.lax.fori_loop(0, max_iter, body, init)
+    f = g - lam * spatial_divergence(px, py, axis_name)
+    return f, (px, py, k, err)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded matmul-DFT transforms (reduce-scatter column contraction)
+# ---------------------------------------------------------------------------
+
+def _local_cols(mat, rows_local, axis_name):
+    """This shard's (M, M/S) column slice of a full (M, M) factor matrix."""
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice(
+        mat,
+        (jnp.zeros((), idx.dtype), idx * jnp.asarray(rows_local, idx.dtype)),
+        (mat.shape[0], rows_local),
+    )
+
+
+def spatial_rfft2(x, mats, axis_name: str = SPACE_AXIS):
+    """rfft2 of a row-sharded real image → row-sharded half-spectrum
+    (re, im).  Row transform is local; the (M, M) column contraction is a
+    local partial matmul + psum_scatter (reduce-scatter over the mesh)."""
+    hp = jax.lax.Precision.HIGHEST
+    CN, SN, CM, SM = (jnp.asarray(mats[k], x.dtype) for k in ("CN", "SN", "CM", "SM"))
+    Ml = x.shape[0]
+    yre = jnp.matmul(x, CN, precision=hp)
+    yim = -jnp.matmul(x, SN, precision=hp)
+    CMl = _local_cols(CM, Ml, axis_name)
+    SMl = _local_cols(SM, Ml, axis_name)
+    zre_part = jnp.matmul(CMl, yre, precision=hp) + jnp.matmul(SMl, yim, precision=hp)
+    zim_part = jnp.matmul(CMl, yim, precision=hp) - jnp.matmul(SMl, yre, precision=hp)
+    zre = jax.lax.psum_scatter(zre_part, axis_name, scatter_dimension=0, tiled=True)
+    zim = jax.lax.psum_scatter(zim_part, axis_name, scatter_dimension=0, tiled=True)
+    return zre, zim
+
+
+def spatial_irfft2(zre, zim, mats, axis_name: str = SPACE_AXIS):
+    """irfft2 of a row-sharded half-spectrum (re, im) → row-sharded real
+    image.  Column contraction first (partial matmul + reduce-scatter),
+    then the local hermitian-weighted row transform."""
+    hp = jax.lax.Precision.HIGHEST
+    CM, SM, WCT, WST = (
+        jnp.asarray(mats[k], zre.dtype) for k in ("CM", "SM", "WCT", "WST")
+    )
+    M = CM.shape[0]
+    Ml = zre.shape[0]
+    CMl = _local_cols(CM, Ml, axis_name)
+    SMl = _local_cols(SM, Ml, axis_name)
+    yre_part = jnp.matmul(CMl, zre, precision=hp) - jnp.matmul(SMl, zim, precision=hp)
+    yim_part = jnp.matmul(CMl, zim, precision=hp) + jnp.matmul(SMl, zre, precision=hp)
+    yre = jax.lax.psum_scatter(yre_part, axis_name, scatter_dimension=0, tiled=True) / M
+    yim = jax.lax.psum_scatter(yim_part, axis_name, scatter_dimension=0, tiled=True) / M
+    return jnp.matmul(yre, WCT, precision=hp) - jnp.matmul(yim, WST, precision=hp)
+
+
+def spatial_blur_apply(x, Hre, Him, mats, axis_name: str = SPACE_AXIS, adjoint=False):
+    """A x (or Aᵀ x) for a row-sharded image and row-sharded OTF planes."""
+    zre, zim = spatial_rfft2(x, mats, axis_name)
+    if adjoint:
+        re = Hre * zre + Him * zim
+        im = Hre * zim - Him * zre
+    else:
+        re = Hre * zre - Him * zim
+        im = Hre * zim + Him * zre
+    return spatial_irfft2(re, im, mats, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded MYULA kernel step
+# ---------------------------------------------------------------------------
+
+def spatial_myula_step(
+    x, prox, z, Hre, Him, yhre, yhim, mats, gamma, lam, sigma2,
+    axis_name: str = SPACE_AXIS, positivity: bool = True,
+):
+    """One MYULA Langevin update of a row-sharded chain state
+    (samplers/myula.py semantics; gradF through the sharded transforms)."""
+    zre, zim = spatial_rfft2(x, mats, axis_name)
+    rre = Hre * zre - Him * zim - yhre
+    rim = Hre * zim + Him * zre - yhim
+    gre = Hre * rre + Him * rim
+    gim = Hre * rim - Him * rre
+    gradF = spatial_irfft2(gre, gim, mats, axis_name) / sigma2
+    xn = x + gamma * (prox - x) / lam - gamma * gradF + jnp.sqrt(2.0 * gamma) * z
+    return jnp.abs(xn) if positivity else xn
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded SALSA MAP solve (one shard_map program)
+# ---------------------------------------------------------------------------
+
+def spatial_salsa_tv(
+    y,
+    H,
+    tau,
+    mu,
+    mesh: Mesh,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    tv_iters: int = 10,
+    dtype=jnp.float32,
+    chambolle_tau: float = 0.249,
+    chambolle_tol: float = 1e-3,
+):
+    """Row-sharded SALSA (solvers/salsa.salsa_tv semantics, stop criterion 1)
+    over a ('space',) mesh.  Returns (x, objective trace, n_iters).
+
+    y: global (M, N) observation; H: host NumPy full OTF (M, N//2+1).
+    Numerically identical to the single-device solve: the prox exchanges
+    one-row halos per sweep, the LS step runs through the reduce-scattered
+    matmul-DFTs, and the objective/stop test psum-reduces two scalars per
+    outer iteration.
+    """
+    from semiblind_tv_tpu.ops.fourier import rdft_matrices, rfft_weights
+
+    axis = mesh.axis_names[0]
+    M, N = y.shape
+    d = M * N
+    H = np.asarray(H)
+    mats = {k: v for k, v in rdft_matrices((M, N), dtype).items()}
+    w_full = np.asarray(rfft_weights((M, N), dtype))  # (1, Nh) column weights
+
+    y_sh = shard_rows(jnp.asarray(y, dtype), mesh, axis)
+    Hre = shard_rows(jnp.asarray(H.real, dtype), mesh, axis)
+    Him = shard_rows(jnp.asarray(H.imag, dtype), mesh, axis)
+    tau = jnp.asarray(tau, dtype)
+    mu = jnp.asarray(mu, dtype)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(), P()),
+    )
+    def solve(y_l, Hre_l, Him_l, tau, mu):
+        yhre, yhim = spatial_rfft2(y_l, mats, axis)
+        ATy_re = Hre_l * yhre + Him_l * yhim
+        ATy_im = Hre_l * yhim - Him_l * yhre
+        inv_f = 1.0 / (Hre_l * Hre_l + Him_l * Him_l + mu)
+        thresh = tau / mu
+        w = jnp.asarray(w_full, dtype)
+
+        def pnorm2(re, im):
+            return jax.lax.psum(jnp.sum(w * (re * re + im * im)), axis) / d
+
+        def body(carry, k):
+            x, u, bu, pux, puy, prev_obj, done, n_done = carry
+            active = jnp.logical_not(done)
+            un, (pxn, pyn, _, _) = spatial_chambolle_prox(
+                x - bu, thresh, tv_iters, tau=chambolle_tau,
+                tol=chambolle_tol, duals=(pux, puy), axis_name=axis,
+            )
+            rre, rim = spatial_rfft2(un + bu, mats, axis)
+            xh_re = inv_f * (ATy_re + mu * rre)
+            xh_im = inv_f * (ATy_im + mu * rim)
+            xn = spatial_irfft2(xh_re, xh_im, mats, axis)
+            bun = bu + (un - xn)
+
+            res_re = yhre - (Hre_l * xh_re - Him_l * xh_im)
+            res_im = yhim - (Hre_l * xh_im + Him_l * xh_re)
+            obj = 0.5 * pnorm2(res_re, res_im) + tau * spatial_tv_norm(un, axis)
+            crit = jnp.abs(obj - prev_obj) / prev_obj
+            newly = jnp.logical_and(jnp.logical_and(crit < tol, k >= 1), active)
+
+            keep = lambda a, b: jnp.where(active, a, b)
+            carry = (
+                keep(xn, x), keep(un, u), keep(bun, bu),
+                keep(pxn, pux), keep(pyn, puy),
+                jnp.where(active, obj, prev_obj),
+                jnp.logical_or(done, newly),
+                n_done + active.astype(jnp.int32),
+            )
+            return carry, jnp.where(active, obj, prev_obj)
+
+        x0 = jnp.zeros_like(y_l)
+        obj0 = 0.5 * jax.lax.psum(jnp.sum(y_l * y_l), axis)
+        init = (
+            x0, x0, x0, x0, x0, obj0.astype(dtype),
+            jnp.array(False), jnp.zeros((), jnp.int32),
+        )
+        (x, *_r, n_done), objs = jax.lax.scan(body, init, jnp.arange(max_iter))
+        return x, objs, n_done
+
+    x, objs, n_done = solve(y_sh, Hre, Him, tau, mu)
+    return x, np.asarray(objs), int(n_done)
