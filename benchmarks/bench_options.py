@@ -38,6 +38,10 @@ def measure(variant: str, n_chains: int) -> float:
         variant = variant[len("dft_"):]
     if variant == "fused":
         mods["use_fused_step"] = True
+        mods["fuse_dft"] = False
+    elif variant == "onekernel":     # whole-iteration kernel incl. DFT matmuls
+        mods["use_fused_step"] = True
+        mods["fuse_dft"] = True
     elif variant == "pallas_prox":
         mods["use_pallas_prox"] = True
     elif variant != "default":

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["myula_prox_tv"]
+__all__ = ["myula_prox_tv", "myula_prox_tv_dft"]
 
 
 def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
@@ -90,6 +90,162 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
     # whole-array SMEM output, one row per sequential grid program
     tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+
+
+def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
+                cm_ref, sm_ref, wct_ref, wst_ref, cn_ref, sn_ref,
+                scal_ref,
+                xn_ref, proxn_ref, tv_ref, xhre_ref, xhim_ref,
+                *, n_sweeps: int, positivity: bool):
+    """Whole-iteration kernel: irfft2(Ghat)/σ² + MYULA + Chambolle prox +
+    TV norm + rfft2(Xn), all VMEM-resident, DFTs as in-kernel MXU matmuls
+    (same math as ops/fourier.rfft2_matmul/irfft2_matmul)."""
+    gamma = scal_ref[0]
+    lam = scal_ref[1]
+    lam_theta = scal_ref[2]
+    tau = scal_ref[3]
+    tol = scal_ref[4]
+    sigma2 = scal_ref[5]
+
+    x = x_ref[0]
+    M, N = x.shape
+    zrow = jnp.zeros((1, N), x.dtype)
+    zcol = jnp.zeros((M, 1), x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.dot(a, b, precision=hp, preferred_element_type=x.dtype)
+
+    # ---- gradF = irfft2(Ghat)/σ² : inverse columns then hermitian rows ----
+    cm, sm = cm_ref[...], sm_ref[...]
+    zre, zim = ghat_re_ref[0], ghat_im_ref[0]
+    inv_m = 1.0 / M
+    yre = (mm(cm, zre) - mm(sm, zim)) * inv_m
+    yim = (mm(cm, zim) + mm(sm, zre)) * inv_m
+    grad = (mm(yre, wct_ref[...]) - mm(yim, wst_ref[...])) / sigma2
+
+    # ---- MYULA update -----------------------------------------------------
+    xn = (
+        x
+        + gamma * (prox_ref[0] - x) / lam
+        - gamma * grad
+        + jnp.sqrt(2.0 * gamma) * z_ref[0]
+    )
+    if positivity:
+        xn = jnp.abs(xn)
+    xn_ref[0] = xn
+
+    # ---- Chambolle dual ascent (fresh duals, as the SAPG prox uses) -------
+    glam = xn / lam_theta
+
+    def div(p1, p2):
+        u = jnp.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
+        v = jnp.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
+        return u + v
+
+    def body(_, carry):
+        px, py, active = carry
+        u = div(px, py) - glam
+        upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
+        upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol], axis=1)
+        tmp = jnp.sqrt(upx * upx + upy * upy)
+        rx = -upx + tmp * px
+        ry = -upy + tmp * py
+        step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
+        denom = 1.0 + tau * tmp
+        px = jnp.where(active, (px + tau * upx) / denom, px)
+        py = jnp.where(active, (py + tau * upy) / denom, py)
+        active = jnp.logical_and(active, step_err > tol)
+        return px, py, active
+
+    px0 = jnp.zeros_like(x)
+    px, py, _ = jax.lax.fori_loop(0, n_sweeps, body, (px0, px0, jnp.array(True)))
+    proxn_ref[0] = xn - lam_theta * div(px, py)
+
+    # ---- circular-difference TV norm --------------------------------------
+    dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
+    dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
+    tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+
+    # ---- Xhatn = rfft2(xn): forward rows then symmetric columns -----------
+    fre = mm(xn, cn_ref[...])
+    fim = -mm(xn, sn_ref[...])
+    xhre_ref[0] = mm(cm, fre) + mm(sm, fim)
+    xhim_ref[0] = mm(cm, fim) - mm(sm, fre)
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "interpret"))
+def myula_prox_tv_dft(
+    ghat: jnp.ndarray,
+    x: jnp.ndarray,
+    prox_cache: jnp.ndarray,
+    z: jnp.ndarray,
+    rdft_mats,
+    gamma,
+    lam,
+    lam_theta,
+    sigma2,
+    n_sweeps: int = 25,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    positivity: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One launch per SAPG iteration: returns (x_new, prox_new, tv, xhat_new).
+
+    ghat is the half-spectrum conj(H)·(H·Xhat − yhat) (pre-σ² division);
+    rdft_mats is fourier.rdft_matrices(shape) — the six real DFT factor
+    matrices ride into VMEM once and serve both the inverse and forward
+    transform as MXU matmuls, eliminating the two XLA transform dispatches
+    and the gradF/Xn HBM round-trips between them.  (B, M, N) inputs run one
+    grid program per chain; xhat_new is returned as a complex array.
+    """
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        raise NotImplementedError(
+            "myula_prox_tv_dft requires a TPU backend (Mosaic kernel); on "
+            f"{jax.default_backend()!r} use the unfused path or interpret=True"
+        )
+    squeeze = x.ndim == 2
+    if squeeze:
+        ghat, x, prox_cache, z = ghat[None], x[None], prox_cache[None], z[None]
+    B, M, N = x.shape
+    Nh = N // 2 + 1
+    scal = jnp.stack(
+        [jnp.asarray(gamma, x.dtype), jnp.asarray(lam, x.dtype),
+         jnp.asarray(lam_theta, x.dtype), jnp.asarray(tau, x.dtype),
+         jnp.asarray(tol, x.dtype), jnp.asarray(sigma2, x.dtype)]
+    )
+    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    half_spec = lambda: pl.BlockSpec((1, M, Nh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # one shared full block for every grid program
+    mat_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mats = [jnp.asarray(rdft_mats[k], x.dtype) for k in ("CM", "SM", "WCT", "WST", "CN", "SN")]
+    xn, proxn, tv, xhre, xhim = pl.pallas_call(
+        partial(_kernel_dft, n_sweeps=n_sweeps, positivity=bool(positivity)),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((B,), x.dtype),
+            jax.ShapeDtypeStruct((B, M, Nh), x.dtype),
+            jax.ShapeDtypeStruct((B, M, Nh), x.dtype),
+        ),
+        in_specs=[half_spec(), half_spec(), img_spec(), img_spec(), img_spec()]
+        + [mat_spec(m) for m in mats]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            img_spec(),
+            img_spec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            half_spec(),
+            half_spec(),
+        ),
+        interpret=interpret,
+    )(ghat.real, ghat.imag, x, prox_cache, z, *mats, scal)
+    xhat = jax.lax.complex(xhre, xhim)
+    if squeeze:
+        xn, proxn, tv, xhat = xn[0], proxn[0], tv[0], xhat[0]
+    return xn, proxn, tv, xhat
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "positivity", "interpret"))

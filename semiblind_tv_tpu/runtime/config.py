@@ -65,6 +65,13 @@ class SAPGConfig:
                                     # Bit-identical to the unfused path and
                                     # +9% at 1 chain / +33% at 16 chains on
                                     # v5e (RESULTS.md)
+    fuse_dft: Optional[bool] = None # fuse the DFT matmul transforms INTO the
+                                    # Pallas step kernel (one launch per SAPG
+                                    # iteration: irfft∘gradF + MYULA + prox +
+                                    # TV + rfft, ops/fused_step_pallas.py::
+                                    # myula_prox_tv_dft).  Only active when
+                                    # use_fused_step and fft_mode == 'dft'.
+                                    # None = auto (measured per RESULTS.md)
     track_traces: bool = True       # record per-iteration diagnostics
     theta_log_scale: bool = False   # SAPG Algorithm-1 style eta=log(theta)
                                     # updates (SALSA/SAPG_algorithm_1.m:180-182);

@@ -167,6 +167,18 @@ def make_general_sapg_step(
         # (+9% at 1 chain, +33% at 16 — RESULTS.md); CPU (tests, dryruns)
         # takes the pure-XLA path
         use_fused = jax.default_backend() in ("tpu", "axon")
+    def resolve_fuse_dft(B: int) -> bool:
+        # Whole-iteration Mosaic kernel (irfft + MYULA + prox + TV + rfft in
+        # one launch).  Measured (RESULTS.md r2): wins where the step is
+        # dispatch-latency-bound (+20% at 256², 1 chain) and loses where XLA
+        # pipelines the transform matmuls across chains (−12% at 8 chains);
+        # at 512² the 12-matmul + 25-sweep kernel exceeds the Mosaic
+        # resource budget and fails to compile.  Auto: ON only for ≤256²
+        # and ≤2 chains; explicit cfg.sapg.fuse_dft overrides.
+        fd = sapg.fuse_dft
+        if fd is None:
+            fd = max(blur.shape) <= 256 and B <= 2
+        return bool(fd) and use_fused and blur.fft_mode == "dft"
 
     # only non-fixed params need OTF gradients; with every PSF param pinned
     # (the reference's published Gaussian config, run_Gaussian_demo.m:42-43)
@@ -233,24 +245,36 @@ def make_general_sapg_step(
         X, Xhat, prox, keys, theta, sigma2, params, extra = carry
         H, dHs = (H0_c, {}) if all_fixed else otfs(params)
         Rhat = H[None] * Xhat - yhat[None]
-        gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
 
         keys, Z = chain_noise(keys, X.shape[1:])
-        if use_fused:
+        if resolve_fuse_dft(X.shape[0]):
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_dft
+
+            # whole-iteration kernel: irfft∘gradF + MYULA + prox + TV +
+            # rfft in ONE launch, DFTs as in-kernel MXU matmuls
+            Xn, proxn, tv, Xhatn = myula_prox_tv_dft(
+                jnp.conj(H)[None] * Rhat, X, prox, Z, blur._rdft,
+                gam, lam, lam * theta, sigma2,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=sapg.positivity,
+            )
+        elif use_fused:
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
+            gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
             # natively chain-batched kernel (grid of B programs) — no vmap
             Xn, proxn, tv = myula_prox_tv(
                 X, prox, gradF, Z, gam, lam, lam * theta,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
             )
+            Xhatn = blur.rfft(Xn)
         else:
+            gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
             Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
             proxn, _ = prox_b(Xn, lam * theta)
             tv = None
-
-        Xhatn = blur.rfft(Xn)
+            Xhatn = blur.rfft(Xn)
         Rn = H[None] * Xhatn - yhat[None]
         res2 = pnorm2(Rn)
         if tv is None:
@@ -340,21 +364,32 @@ def make_general_sapg_step(
         sigma0 = consts["sigma2_init"]
         X, Xhat, prox, keys = carry
         Rhat = H0_c[None] * Xhat - yhat[None]
-        gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
         keys, Z = chain_noise(keys, X.shape[1:])
-        if use_fused:
+        if resolve_fuse_dft(X.shape[0]):
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_dft
+
+            Xn, proxn, tv, Xhatn = myula_prox_tv_dft(
+                jnp.conj(H0_c)[None] * Rhat, X, prox, Z, blur._rdft,
+                gam, lam, lam * theta0_c, sigma0,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=True,
+            )
+        elif use_fused:
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
+            gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
             Xn, proxn, tv = myula_prox_tv(
                 X, prox, gradF, Z, gam, lam, lam * theta0_c,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,
             )
+            Xhatn = blur.rfft(Xn)
         else:
+            gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
             Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z)
             proxn, _ = prox_b(Xn, lam * theta0_c)
             tv = tv_b(Xn)
-        Xhatn = blur.rfft(Xn)
+            Xhatn = blur.rfft(Xn)
         res2 = pnorm2(H0_c[None] * Xhatn - yhat[None])
         logpi = reduce_stat(-res2 / (2.0 * sigma0) - theta0_c * tv)
         return (Xn, Xhatn, proxn, keys), logpi

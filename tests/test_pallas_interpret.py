@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+from semiblind_tv_tpu.ops import fourier
+from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv, myula_prox_tv_dft
 from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
 from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_pallas
 from semiblind_tv_tpu.samplers.myula import myula_kernel_step
@@ -42,6 +43,38 @@ def test_chambolle_interpret_warm_duals():
     f1, _ = chambolle_prox(x, 0.3, 10, duals=(st.px, st.py))
     f2, _ = chambolle_prox_pallas(x, 0.3, 10, duals=(st.px, st.py), interpret=True)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-12, atol=1e-12)
+
+
+def test_fused_dft_step_interpret_matches_unfused():
+    """Whole-iteration kernel (irfft + MYULA + prox + TV + rfft in one
+    launch) vs the same composition through ops/fourier + ops/tv."""
+    M = N = 32
+    ks = jax.random.split(jax.random.key(7), 4)
+    x = jax.random.uniform(ks[0], (2, M, N), jnp.float32) * 255
+    prox_c = x + jax.random.normal(ks[1], x.shape, jnp.float32) * 0.1
+    z = jax.random.normal(ks[2], x.shape, jnp.float32)
+    ghat = fourier.rfft2_matmul(
+        jax.random.normal(ks[3], x.shape, jnp.float32),
+        fourier.rdft_matrices((M, N), jnp.float32),
+    )
+    mats = fourier.rdft_matrices((M, N), jnp.float32)
+    g, l, lt, s2 = 1.9, 2.0, 0.02, 2.5
+
+    xb, pb, tvb, xhb = myula_prox_tv_dft(
+        ghat, x, prox_c, z, mats, g, l, lt, s2, 25, interpret=True
+    )
+    assert tvb.shape == (2,) and xhb.shape == (2, M, N // 2 + 1)
+    for i in range(2):
+        gradf = fourier.irfft2_matmul(ghat[i], mats).astype(jnp.float32) / s2
+        xr = myula_kernel_step(x[i], prox_c[i], gradf, g, l, z[i], True)
+        pr, _ = chambolle_prox(xr, lt, 25)
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xr), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(pr), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(tvb[i]), float(tv_norm(xr)), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(xhb[i]), np.asarray(fourier.rfft2_matmul(xr, mats)),
+            rtol=1e-4, atol=1e-2,
+        )
 
 
 def test_fused_step_interpret_matches_unfused():

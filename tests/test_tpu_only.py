@@ -128,3 +128,47 @@ def test_pallas_options_run_through_estimator_multichain():
         carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
         (carry2, trace) = jax.jit(step)(carry, jnp.float32(2.0))
         assert np.isfinite(float(trace["logPi"]))
+
+
+@requires_tpu
+def test_fused_dft_step_matches_xla_composition():
+    """Whole-iteration kernel (myula_prox_tv_dft) vs the same composition
+    through ops/fourier matmul-DFTs on the real Mosaic backend (256²; the
+    512² single-kernel is documented as over the Mosaic resource budget —
+    RESULTS.md r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops import fourier
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_dft
+    from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+    from semiblind_tv_tpu.samplers.myula import myula_kernel_step
+
+    M = N = 256
+    mats = fourier.rdft_matrices((M, N), jnp.float32)
+    ks = jax.random.split(jax.random.key(2), 4)
+    x = jax.random.uniform(ks[0], (M, N), jnp.float32) * 255
+    prox_c = x + jax.random.normal(ks[1], x.shape) * 0.1
+    z = jax.random.normal(ks[3], x.shape)
+    g, l, lt, s2 = jnp.float32(1.9), jnp.float32(2.0), jnp.float32(0.02), jnp.float32(2.5)
+
+    @jax.jit
+    def make_ghat(v):
+        return fourier.rfft2_matmul(v, mats)
+
+    ghat = make_ghat(jax.random.normal(ks[2], x.shape) * 0.1)
+    xn, proxn, tv, xhat = myula_prox_tv_dft(ghat, x, prox_c, z, mats, g, l, lt, s2, 25)
+
+    @jax.jit
+    def ref(ghat, x, prox_c, z):
+        gradf = fourier.irfft2_matmul(ghat, mats).astype(jnp.float32) / s2
+        xr = myula_kernel_step(x, prox_c, gradf, g, l, z, True)
+        pr, _ = chambolle_prox(xr, lt, 25)
+        return xr, pr, tv_norm(xr), fourier.rfft2_matmul(xr, mats)
+
+    xr, pr, tvr, xhr = ref(ghat, x, prox_c, z)
+    scale = float(jnp.max(jnp.abs(xr)))
+    assert float(jnp.max(jnp.abs(xn - xr))) < 1e-4 * scale
+    assert float(jnp.max(jnp.abs(proxn - pr))) < 1e-4 * scale
+    np.testing.assert_allclose(float(tv), float(tvr), rtol=1e-4)
+    assert float(jnp.max(jnp.abs(xhat - xhr))) < 1e-2 * float(jnp.max(jnp.abs(xhr)))
