@@ -2,12 +2,13 @@
 
 The reference ships 8 grayscale 512² PNGs (`images/`: barbara, boat, bridge,
 goldhill, lake, man, mandrill, wheel) plus a 256² cameraman, and the demos
-default to wheel.png (run_Gaussian_demo.m:100).  We do not vendor those
-binaries; instead:
+default to wheel.png (run_Gaussian_demo.m:100).  The same public images are
+vendored in `data/images/` (see its README for provenance), so a clean
+clone reproduces the parity tables out of the box:
 
-  * `load_image(name_or_path)` loads any grayscale PNG — point
-    SEMIBLIND_TV_IMAGES (or pass a directory) at a copy of the reference
-    `images/` folder to run on the exact same data.
+  * `load_image(name_or_path)` loads any grayscale PNG — search order is an
+    explicit directory argument, then SEMIBLIND_TV_IMAGES, then the
+    vendored `data/images/`.
   * `synthetic_wheel(size)` generates a deterministic spoked-wheel
     resolution-chart phantom with the same character (sharp radial edges,
     flat regions, fine detail near the hub) for self-contained runs/tests.
