@@ -57,6 +57,7 @@ __all__ = [
     "spatial_blur_apply",
     "spatial_salsa_tv",
     "spatial_myula_step",
+    "run_sapg_spatial",
 ]
 
 
@@ -366,3 +367,252 @@ def spatial_salsa_tv(
 
     x, objs, n_done = solve(y_sh, Hre, Him, tau, mu)
     return x, np.asarray(objs), int(n_done)
+
+
+# ---------------------------------------------------------------------------
+# Full spatially-sharded SAPG estimator (single chain, giant-image mode)
+# ---------------------------------------------------------------------------
+
+def _spatial_otf(kernel, Fx, Fy, rows_local, axis_name):
+    """This shard's rows of the corner-embedded OTF (re, im).
+
+    Row r of the full OTF is (Fxᵀ k Fy)[r] (ops/fourier.otf_rfft); slicing
+    Fx's columns to the shard's rows before the matmuls keeps the work and
+    memory O(M/S) per device — the OTF is never materialised globally.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    idx = jax.lax.axis_index(axis_name)
+    Fxl = jax.lax.dynamic_slice(
+        Fx,
+        (jnp.zeros((), idx.dtype), idx * jnp.asarray(rows_local, idx.dtype)),
+        (Fx.shape[0], rows_local),
+    )
+    left = jnp.matmul(Fxl.T, kernel.astype(Fxl.dtype), precision=hp)
+    H = jnp.matmul(left, Fy, precision=hp)
+    return H.real, H.imag
+
+
+def run_sapg_spatial(problem, mesh: Mesh, key, x0=None):
+    """Warm-up + SAPG + EB extraction with the IMAGE row-sharded over a
+    ('space',) mesh — the giant-image estimator (one Markov chain whose
+    state never fits, or never needs to fit, on one chip).
+
+    Math and iteration order mirror sapg/estimator.py exactly; per
+    iteration the cross-device traffic is 4 reduce-scatters (the two
+    transforms), two one-row halos per prox sweep, and the psum'd scalar
+    statistics.  The MYULA noise is drawn replicated from the same
+    key-split sequence as the single-device estimator and row-sliced, so
+    the trajectory matches `run_sapg(problem, key, n_chains=1)` to
+    reduction-order rounding (tested at f64).  Returns the full
+    `SAPGResult` diagnostics bundle via the shared `assemble_result`.
+    """
+    from semiblind_tv_tpu.ops.fourier import rdft_matrices, rfft_weights
+    from semiblind_tv_tpu.sapg.estimator import assemble_result
+
+    cfg = problem.cfg
+    sapg = cfg.sapg
+    blur = problem.blur
+    dtype = blur.dtype
+    M, N = blur.shape
+    d = blur.dim
+    axis = mesh.axis_names[0]
+    S = mesh.devices.size
+    Ml = M // S
+    assert M % S == 0, f"rows {M} not divisible by mesh size {S}"
+
+    model = problem.model
+    theta_spec = cfg.theta
+    psf_specs = cfg.psf_params
+    psf_names = tuple(s.name for s in psf_specs)
+    free_names = tuple(s.name for s in psf_specs if not s.fix)
+    sigma_spec = problem.sigma_spec()
+    d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
+    mats = rdft_matrices((M, N), dtype)
+    w_full = np.asarray(rfft_weights((M, N), dtype))
+    Fx, Fy = blur.factors  # host numpy complex factor matrices
+
+    theta0 = jnp.asarray(theta_spec.init, dtype)
+    sigma0 = jnp.asarray(problem.sigma2_init, dtype)
+    params0 = {k: jnp.asarray(v, dtype) for k, v in cfg.init_psf_params().items()}
+    gam = jnp.asarray(problem.gamma, dtype)
+    lam = jnp.asarray(problem.lambda_myula, dtype)
+    s2_lo = jnp.asarray(problem.sigma2_box[0], dtype)
+    s2_hi = jnp.asarray(problem.sigma2_box[1], dtype)
+
+    n_warm = max(sapg.warmup - 1, 0)
+    if x0 is None:
+        x0 = problem.y
+    y_sh = shard_rows(jnp.asarray(x0, dtype), mesh, axis)
+
+    H0_full = blur.otf_host(model.kernel(params0))  # host (M, Nh) constant
+
+    def local_slice(full):
+        """Shard's rows of a host-side (M, ...) constant (closure capture)."""
+        def inner(arr):
+            idx = jax.lax.axis_index(axis)
+            return jax.lax.dynamic_slice(
+                arr,
+                (idx * jnp.asarray(Ml, idx.dtype),)
+                + tuple(jnp.zeros((), idx.dtype) for _ in arr.shape[1:]),
+                (Ml,) + arr.shape[1:],
+            )
+        return inner(jnp.asarray(full))
+
+    def spatial_prox(Xl, lam_theta):
+        f, _ = spatial_chambolle_prox(
+            Xl, lam_theta, sapg.chambolle_iters,
+            tau=sapg.chambolle_tau, tol=sapg.chambolle_tol, axis_name=axis,
+        )
+        return f
+
+    def draw_noise(key_c):
+        """Same split/draw sequence as estimator.chain_noise at 1 chain,
+        sliced to this shard's rows (replicated draw, exact parity)."""
+        ks = jax.random.split(key_c)
+        Z_full = jax.random.normal(ks[1], (M, N), dtype)
+        return ks[0], local_slice(Z_full)
+
+    def pnorm2(re, im, w):
+        return jax.lax.psum(jnp.sum(w * (re * re + im * im)), axis) / d
+
+    def pdot(are, aim, bre, bim, w):
+        return jax.lax.psum(jnp.sum(w * (are * bre + aim * bim)), axis) / d
+
+    def otfs_local(params):
+        k, dks = model.kernel_and_grads(params)
+        H = _spatial_otf(k, jnp.asarray(Fx), jnp.asarray(Fy), Ml, axis)
+        dHs = {
+            n: _spatial_otf(dks[n], jnp.asarray(Fx), jnp.asarray(Fy), Ml, axis)
+            for n in free_names
+        }
+        return H, dHs
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(axis, None), P(), P(), P(), {k: P() for k in _trace_keys(psf_names)}),
+    )
+    def run_all(y_l, key_c):
+        w = jnp.asarray(w_full, dtype)
+        yh_re, yh_im = spatial_rfft2(y_l, mats, axis)
+        H0re = local_slice(np.ascontiguousarray(H0_full.real))
+        H0im = local_slice(np.ascontiguousarray(H0_full.imag))
+
+        # ---- warm-up at fixed hyperparameters ----------------------------
+        prox0 = spatial_prox(y_l, lam * theta0)
+        Xh_re0, Xh_im0 = spatial_rfft2(y_l, mats, axis)
+
+        def warm_step(carry, _):
+            Xl, Xre, Xim, prox, key_c = carry
+            rre = H0re * Xre - H0im * Xim - yh_re
+            rim = H0re * Xim + H0im * Xre - yh_im
+            gre = H0re * rre + H0im * rim
+            gim = H0re * rim - H0im * rre
+            gradF = spatial_irfft2(gre, gim, mats, axis) / sigma0
+            key_c, Z = draw_noise(key_c)
+            Xn = Xl + gam * (prox - Xl) / lam - gam * gradF + jnp.sqrt(2.0 * gam) * Z
+            Xn = jnp.abs(Xn)
+            proxn = spatial_prox(Xn, lam * theta0)
+            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis)
+            res2 = pnorm2(H0re * Xre_n - H0im * Xim_n - yh_re,
+                          H0re * Xim_n + H0im * Xre_n - yh_im, w)
+            logpi = -res2 / (2.0 * sigma0) - theta0 * spatial_tv_norm(Xn, axis)
+            return (Xn, Xre_n, Xim_n, proxn, key_c), logpi
+
+        carry0 = (y_l, Xh_re0, Xh_im0, prox0, key_c)
+        if n_warm > 0:
+            carry0, logpi_wu = jax.lax.scan(warm_step, carry0, None, length=n_warm)
+        else:
+            logpi_wu = jnp.zeros((0,), dtype)
+        Xl, Xre, Xim, prox, key_c = carry0
+        res2_0 = pnorm2(H0re * Xre - H0im * Xim - yh_re,
+                        H0re * Xim + H0im * Xre - yh_im, w)
+        logpi0 = -res2_0 / (2.0 * sigma0) - theta0 * spatial_tv_norm(Xl, axis)
+
+        # ---- main SAPG loop ----------------------------------------------
+        def step(carry, ii):
+            Xl, Xre, Xim, prox, key_c, theta, sigma2, params = carry
+            (Hre, Him), dHs = otfs_local(params)
+            rre = Hre * Xre - Him * Xim - yh_re
+            rim = Hre * Xim + Him * Xre - yh_im
+            gre = Hre * rre + Him * rim
+            gim = Hre * rim - Him * rre
+            gradF = spatial_irfft2(gre, gim, mats, axis) / sigma2
+            key_c, Z = draw_noise(key_c)
+            Xn = Xl + gam * (prox - Xl) / lam - gam * gradF + jnp.sqrt(2.0 * gam) * Z
+            if sapg.positivity:
+                Xn = jnp.abs(Xn)
+            proxn = spatial_prox(Xn, lam * theta)
+            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis)
+            Rre = Hre * Xre_n - Him * Xim_n - yh_re
+            Rim = Hre * Xim_n + Him * Xre_n - yh_im
+            res2 = pnorm2(Rre, Rim, w)
+            tv = spatial_tv_norm(Xn, axis)
+
+            G_t = d / theta - tv
+            G_s = res2 / (2.0 * sigma2 ** 2) - d / (2.0 * sigma2)
+            G_p = {}
+            for n in free_names:
+                dre, dim_ = dHs[n]
+                G_p[n] = pdot(
+                    dre * Xre_n - dim_ * Xim_n, dre * Xim_n + dim_ * Xre_n,
+                    Rre, Rim, w,
+                ) / sigma2
+            zero = jnp.zeros_like(G_t)
+
+            delta_i = d_scale * ii.astype(dtype) ** (-sapg.d_exp) / d
+            theta_n = theta_spec.clip(theta + theta_spec.step_scale * delta_i * G_t)
+            params_n = {}
+            for s in psf_specs:
+                if s.fix:
+                    cand = jnp.asarray(s.true_value, dtype)
+                else:
+                    cand = params[s.name] + s.sign * s.step_scale * delta_i * G_p[s.name]
+                params_n[s.name] = s.clip(cand)
+            if sigma_spec.fix:
+                sigma_n = sigma0
+            else:
+                sigma_n = jnp.clip(
+                    sigma2 + cfg.sigma_step_scale * delta_i * G_s, s2_lo, s2_hi
+                )
+            logpi = -res2 / (2.0 * sigma2) - theta * tv
+            trace = dict(
+                theta=theta_n, sigma2=sigma_n, logPi=logpi, gX=tv,
+                G_t=G_t, G_s=G_s,
+                **{f"G_{n}": G_p.get(n, zero) for n in psf_names},
+                **{n: params_n[n] for n in psf_names},
+            )
+            return (Xn, Xre_n, Xim_n, proxn, key_c, theta_n, sigma_n, params_n), trace
+
+        init = (Xl, Xre, Xim, prox, key_c, theta0, sigma0, params0)
+        iis = jnp.arange(2, sapg.samples + 1).astype(dtype)
+        (Xl, *_r), traces = jax.lax.scan(step, init, iis)
+        return Xl, logpi_wu, logpi0, res2_0 * 0.0, traces
+
+    import time as _time
+
+    # same per-chain key derivation as the single-device estimator at
+    # n_chains=1 (run_sapg: keys = jax.random.split(key, n_chains))
+    key0 = jax.random.split(key, 1)[0]
+
+    t0 = _time.perf_counter()
+    X_last, logpi_wu, logpi0, _unused, traces = run_all(y_sh, key0)
+    jax.block_until_ready(X_last)
+    exec_time = _time.perf_counter() - t0
+
+    traces = jax.tree_util.tree_map(np.asarray, traces)
+    return assemble_result(
+        problem, psf_names, traces,
+        np.asarray(logpi_wu) if n_warm > 0 else np.zeros(0),
+        float(logpi0),
+        np.asarray(X_last)[None],  # (1, M, N): single spatial chain
+        {},
+        exec_time,
+    )
+
+
+def _trace_keys(psf_names):
+    keys = ["theta", "sigma2", "logPi", "gX", "G_t", "G_s"]
+    keys += [f"G_{n}" for n in psf_names]
+    keys += list(psf_names)
+    return keys

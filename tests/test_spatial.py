@@ -195,3 +195,40 @@ def test_spatial_salsa_matches_single_device(mesh, img):
     np.testing.assert_allclose(
         objs[: n_it], ref.objective[1 : n_it + 1], rtol=1e-12
     )
+
+
+def test_spatial_sapg_matches_single_device(mesh):
+    """Full spatially-sharded estimator vs run_sapg(n_chains=1): same noise
+    sequence (replicated draw + row slice), same math → same trajectory to
+    reduction-order rounding at f64."""
+    import dataclasses as dc
+
+    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+    from semiblind_tv_tpu.sapg import run_sapg
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    cfg = dc.replace(
+        cfg,
+        sapg=dc.replace(
+            cfg.sapg, samples=40, warmup=20, burn_in=32, fft_mode="dft"
+        ),
+    )
+    problem = build_problem(synthetic_wheel(M), cfg, jax.random.key(5), dtype=DTYPE)
+    key = jax.random.key(6)
+
+    ref = run_sapg(problem, key, n_chains=1)
+    got = spatial.run_sapg_spatial(problem, mesh, key)
+
+    np.testing.assert_allclose(got.thetas, ref.thetas, rtol=1e-9)
+    np.testing.assert_allclose(got.sigma2s, ref.sigma2s, rtol=1e-9)
+    for n in ref.psf_param_traces:
+        np.testing.assert_allclose(
+            got.psf_param_traces[n], ref.psf_param_traces[n], rtol=1e-9
+        )
+    np.testing.assert_allclose(got.logPiTrace, ref.logPiTrace, rtol=1e-9)
+    np.testing.assert_allclose(
+        got.logPiTrace_warmup, ref.logPiTrace_warmup, rtol=1e-9
+    )
+    np.testing.assert_allclose(got.X_last, ref.X_last, atol=1e-9)
+    assert abs(got.theta_EB - ref.theta_EB) < 1e-9
