@@ -192,6 +192,11 @@ def main(argv=None):
                    help="gaussian: estimate w1/w2 instead of pinning to truth")
     p.add_argument("--fft-mode", choices=["fft", "dft"], default=None,
                    help="hot-loop transform backend: jnp.fft or matmul-DFT (MXU)")
+    p.add_argument("--sigma-log-scale", action="store_true",
+                   help="EXTENSION: log-space sigma^2 SA updates — moves far "
+                        "faster from the wide BSNR-midpoint init at 512^2 "
+                        "(the reference's linear update barely moves there, "
+                        "RESULTS.md); off = reference dynamics")
     p.add_argument("--mesh", default=None, metavar="DxC",
                    help="run the SAPG phase sharded on a data x chains device "
                         "mesh, e.g. --mesh 1x8 (requires chains %% C == 0)")
@@ -210,6 +215,8 @@ def main(argv=None):
         sapg_over["warmup"] = args.warmup
     if args.fft_mode is not None:
         sapg_over["fft_mode"] = args.fft_mode
+    if args.sigma_log_scale:
+        sapg_over["sigma_log_scale"] = True
     if sapg_over:
         cfg = dataclasses.replace(cfg, sapg=dataclasses.replace(cfg.sapg, **sapg_over))
 
