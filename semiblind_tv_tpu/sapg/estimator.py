@@ -161,12 +161,22 @@ def make_general_sapg_step(
     psf_names = tuple(s.name for s in psf_specs)
     d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
 
-    use_fused = sapg.use_fused_step
-    if use_fused is None:
+    use_fused_cfg = sapg.use_fused_step
+
+    def resolve_use_fused(B: int) -> bool:
         # auto: the fused Mosaic kernel wins at every chain count on TPU
         # (+9% at 1 chain, +33% at 16 — RESULTS.md); CPU (tests, dryruns)
-        # takes the pure-XLA path
-        use_fused = jax.default_backend() in ("tpu", "axon")
+        # takes the pure-XLA path.  At 512² the kernel's scoped-VMEM
+        # footprint is within 0.7 MB of the 16 MB limit and B ≥ 32 tips it
+        # over (compile OOM, RESULTS.md r2) — auto falls back to the XLA
+        # path there; explicit use_fused_step overrides.
+        uf = use_fused_cfg
+        if uf is None:
+            uf = jax.default_backend() in ("tpu", "axon") and (
+                max(blur.shape) < 512 or B <= 24
+            )
+        return bool(uf)
+
     def resolve_fuse_dft(B: int) -> bool:
         # Whole-iteration Mosaic kernel (irfft + MYULA + prox + TV + rfft in
         # one launch).  Measured (RESULTS.md r2): wins where the step is
@@ -178,7 +188,7 @@ def make_general_sapg_step(
         fd = sapg.fuse_dft
         if fd is None:
             fd = max(blur.shape) <= 256 and B <= 2
-        return bool(fd) and use_fused and blur.fft_mode == "dft"
+        return bool(fd) and resolve_use_fused(B) and blur.fft_mode == "dft"
 
     # only non-fixed params need OTF gradients; with every PSF param pinned
     # (the reference's published Gaussian config, run_Gaussian_demo.m:42-43)
@@ -204,7 +214,17 @@ def make_general_sapg_step(
     tv_b = jax.vmap(tv_norm)
 
     def prox_b(X, lam_theta):
-        if sapg.use_pallas_prox:
+        # Pallas prox when asked for explicitly, OR as the TPU auto fallback
+        # when the fused step kernel is gated off by chain count (B ≥ 32 at
+        # 512²): the XLA vmapped prox goes HBM-bound there (1.4k vs 5.2k
+        # chain-iter/s at 32 chains — RESULTS.md r2), while the grid-native
+        # Pallas kernel keeps each chain's duals VMEM-resident.
+        use_p = sapg.use_pallas_prox or (
+            use_fused_cfg is None
+            and jax.default_backend() in ("tpu", "axon")
+            and not resolve_use_fused(X.shape[0])
+        )
+        if use_p:
             # the Pallas kernel batches chains natively (grid of B programs);
             # vmapping the pallas_call instead picks losing block shapes
             return chambolle_prox(
@@ -258,7 +278,7 @@ def make_general_sapg_step(
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
             )
-        elif use_fused:
+        elif resolve_use_fused(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
             gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
@@ -374,7 +394,7 @@ def make_general_sapg_step(
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,
             )
-        elif use_fused:
+        elif resolve_use_fused(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
 
             gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
