@@ -40,3 +40,20 @@ from jax.experimental import multihost_utils  # noqa: E402
 
 theta_global = multihost_utils.process_allgather(state["theta"], tiled=True)
 print(f"RESULT {PID} {float(np.ravel(theta_global)[0]):.10f}", flush=True)
+
+# --- spatial leg: 4-device ('space',) global mesh across both processes ---
+import jax.numpy as jnp  # noqa: E402
+
+from semiblind_tv_tpu.ops.fourier import BlurOperator  # noqa: E402
+from semiblind_tv_tpu.ops.psf import gaussian_kernel  # noqa: E402
+from semiblind_tv_tpu.parallel.mesh import make_spatial_mesh  # noqa: E402
+from semiblind_tv_tpu.parallel.spatial import spatial_salsa_tv  # noqa: E402
+
+smesh = make_spatial_mesh(4)
+blur = BlurOperator((32, 32), 7, jnp.float32, fft_mode="dft")
+H = blur.otf_host(gaussian_kernel(7, 0.4, 0.3, dtype=jnp.float32))
+_xs, objs, n_it = spatial_salsa_tv(
+    np.asarray(problem.y), H, 0.05, 0.005, smesh, max_iter=8, tv_iters=3,
+    dtype=jnp.float32,
+)
+print(f"SPATIAL {PID} {float(objs[n_it - 1]):.10f}", flush=True)

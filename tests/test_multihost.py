@@ -9,6 +9,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -53,3 +54,14 @@ def test_two_process_distributed_sapg():
     # both processes computed the same global trajectory
     assert results[0] == results[1]
     assert 1e-3 <= results[0] <= 1.0
+    # spatial leg: the halo/reduce-scatter SALSA over the cross-process
+    # ('space',) mesh agrees bitwise between the two hosts
+    spatial = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SPATIAL "):
+                _, pid, obj = line.split()
+                spatial[int(pid)] = float(obj)
+    assert set(spatial) == {0, 1}, outs
+    assert spatial[0] == spatial[1]
+    assert np.isfinite(spatial[0])

@@ -172,3 +172,26 @@ def test_fused_dft_step_matches_xla_composition():
     assert float(jnp.max(jnp.abs(proxn - pr))) < 1e-4 * scale
     np.testing.assert_allclose(float(tv), float(tvr), rtol=1e-4)
     assert float(jnp.max(jnp.abs(xhat - xhr))) < 1e-2 * float(jnp.max(jnp.abs(xhr)))
+
+
+@requires_tpu
+def test_operating_point_bands_laplace_wheel():
+    """Full-budget 512² Laplace band at the REFERENCE operating point
+    (wheel.png, BSNR 30) — the CI-scale statistical tests run at 64²
+    (tests/test_statistical.py); this one asserts the real thing on chip
+    (~90 s post-compile).  Bands from the 9-photograph parity table
+    (RESULTS.md): b_EB within ±0.08 of truth, σ² within 6%, ≥4 dB gain."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses as dc
+
+    from semiblind_tv_tpu.cli.run_demo import run_demo
+    from semiblind_tv_tpu.runtime import laplace_preset
+    from semiblind_tv_tpu.utils import load_image
+
+    cfg = laplace_preset()
+    cfg = dc.replace(cfg, image="wheel")
+    results, *_ = run_demo(cfg, load_image("wheel"), n_chains=1, dtype=jnp.float32)
+    assert abs(results["psf_params_EB"]["b"] - 0.3) < 0.08
+    assert abs(np.log(results["sigma2_EB"] / results["sigma2_true"])) < 0.06
+    assert results["mse_db"] < results["mse_db_observation"] - 4.0
