@@ -129,6 +129,57 @@ def _resolve_ops(H, blur, A_ops):
     return _make_ops(H, blur)
 
 
+def _subspace_step(A, At, x, r, opt_tol, piv_tol=1e-12, cg_iters: int = 8):
+    """Active-face refinement (reference spgl1_v0.m:494-549 subspaceMin).
+
+    When the active set has stabilized, the reference runs LSQR restricted
+    to the support with the step confined to the current L1-ball face
+    (orthogonal to the sign vector) and limited by the first sign change.
+    TPU-native redesign: fixed-trip CGLS on the projected normal equations
+    (mask + face projection applied to every direction — static shapes, no
+    index gathers), then the same sign-change pivot limit.  Real x only
+    (the reference disables subspace minimization for complex variables,
+    spgl1_v0.m:270-273).
+    """
+    mask = (jnp.abs(x) >= opt_tol).astype(x.dtype)
+    ebar = jnp.sign(x) * mask
+    ne = jnp.maximum(jnp.sum(mask), 1.0)
+
+    def proj(v):
+        v = v * mask
+        return v - (jnp.sum(v * ebar) / ne) * ebar
+
+    # CGLS for min ‖A P dz − r‖² with P = face projection
+    s0 = proj(At(r))
+    p0 = s0
+    g0 = jnp.sum(s0 * s0)
+
+    def cg_body(_, carry):
+        dx, p, s, gamma = carry
+        q = A(proj(p))
+        denom = jnp.sum(q * q)
+        alpha = jnp.where(denom > 1e-30, gamma / denom, 0.0)
+        dx = dx + alpha * p
+        s = s - alpha * proj(At(q))
+        gamma_n = jnp.sum(s * s)
+        beta = jnp.where(gamma > 1e-30, gamma_n / gamma, 0.0)
+        return dx, s + beta * p, s, gamma_n
+
+    dx, _, _, _ = jax.lax.fori_loop(
+        0, cg_iters, cg_body, (jnp.zeros_like(x), p0, s0, g0)
+    )
+    dx = proj(dx)
+
+    # largest step before any coefficient crosses zero (sign-change pivots)
+    block1 = (mask > 0) & (x < 0) & (dx > piv_tol)
+    block2 = (mask > 0) & (x > 0) & (dx < -piv_tol)
+    safe = lambda c, v: jnp.where(c, v, jnp.inf)
+    alpha1 = jnp.min(safe(block1, -x / jnp.where(block1, dx, 1.0)))
+    alpha2 = jnp.min(safe(block2, -x / jnp.where(block2, dx, 1.0)))
+    alpha = jnp.minimum(1.0, jnp.minimum(alpha1, alpha2))
+    return x + alpha * dx
+
+
 def spg_lasso(
     b: jnp.ndarray,
     H,
@@ -141,12 +192,16 @@ def spg_lasso(
     max_ls: int = 10,
     weights: Optional[jnp.ndarray] = None,
     A_ops: Optional[Tuple[Callable, Callable]] = None,
+    subspace_min: bool = False,
+    opt_tol: float = 1e-6,
 ):
     """Inner LASSO solver; returns (x, resid_norm, grad, n_iters).
 
     weights: optional positive per-coefficient weights — the constraint
     becomes ‖Wx‖₁ ≤ τ (reference options.weights, spgl1_v0.m).
-    A_ops: optional (A, At) callables replacing the blur operator."""
+    A_ops: optional (A, At) callables replacing the blur operator.
+    subspace_min: active-face CGLS refinement once the support stabilizes
+    between iterations (reference options.subspaceMin; real data only)."""
     dtype = blur.dtype if blur is not None else jnp.asarray(b).dtype
     b = jnp.asarray(b, dtype)
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -163,7 +218,7 @@ def spg_lasso(
         return 0.5 * _rdot(r, r), At(r), r
 
     def body(carry, _):
-        x, g, f, alpha, fbuf, done, n_done = carry
+        x, g, f, alpha, fbuf, done, n_done, prev_nnz = carry
         active = jnp.logical_not(done)
         fmax = jnp.max(fbuf)
 
@@ -182,6 +237,20 @@ def spg_lasso(
 
         a_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (alpha, 0))
         xn = project(x - a_fin * g)
+
+        if subspace_min:
+            # active-face refinement once the support pattern repeats
+            # (reference activeVars nnzDiff == 0 trigger, spgl1_v0.m:498-507)
+            nnz = jnp.abs(xn) >= opt_tol
+            trigger = jnp.logical_and(jnp.all(nnz == prev_nnz), active)
+            xn = jax.lax.cond(
+                trigger,
+                lambda v: project(_subspace_step(A, At, v, b - A(v), opt_tol)),
+                lambda v: v,
+                xn,
+            )
+            prev_nnz = jnp.where(active, nnz, prev_nnz)
+
         fn, gn, _ = f_and_g(xn)
 
         s = xn - x
@@ -198,6 +267,7 @@ def spg_lasso(
         carry = (
             keep(xn, x), keep(gn, g), keep(fn, f), keep(alpha_n, alpha),
             fbuf, jnp.logical_or(done, newly), n_done + active.astype(jnp.int32),
+            prev_nnz,
         )
         return carry, None
 
@@ -207,8 +277,11 @@ def spg_lasso(
     f0, g0, r0 = f_and_g(x0)
     fbuf0 = jnp.full((history,), f0, rdtype)
     alpha0 = 1.0 / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-12)
-    init = (x0, g0, f0, alpha0, fbuf0, jnp.array(False), jnp.zeros((), jnp.int32))
-    (x, g, f, _, _, _, n), _ = jax.jit(
+    init = (
+        x0, g0, f0, alpha0, fbuf0, jnp.array(False), jnp.zeros((), jnp.int32),
+        jnp.abs(x0) >= opt_tol,
+    )
+    (x, g, f, _, _, _, n, _), _ = jax.jit(
         lambda i: jax.lax.scan(body, i, None, length=max_iter)
     )(init)
     resid = jnp.sqrt(2.0 * f)
@@ -225,6 +298,7 @@ def spgl1_bpdn(
     tol: float = 1e-3,
     weights: Optional[jnp.ndarray] = None,
     A_ops: Optional[Tuple[Callable, Callable]] = None,
+    subspace_min: bool = False,
 ) -> SPGL1Result:
     """(Weighted) basis pursuit denoise via Pareto-curve Newton iteration.
 
@@ -251,6 +325,8 @@ def spgl1_bpdn(
         x, r, _, n = spg_lasso(
             b, H, blur, tau, x0=x, max_iter=inner_iter,
             weights=weights, A_ops=A_ops,
+            # reference disables subspace min for complex x (spgl1_v0.m:270-273)
+            subspace_min=subspace_min and not jnp.iscomplexobj(b),
         )
         resid = float(r)
         n_total += n

@@ -315,3 +315,41 @@ def test_complex_bpdn_dense_oracle_kkt(rng):
     )
     # the planted support is recovered
     assert set(idx) <= set(np.flatnonzero(np.abs(x) > 1e-3))
+
+
+def test_subspace_minimization_refines_lasso(rng):
+    """subspace_min (reference options.subspaceMin, spgl1_v0.m:494-549):
+    once the active set stabilizes, the CGLS face refinement must (a) stay
+    on the L1 ball, (b) not degrade the objective at a matched iteration
+    budget, and (c) typically reach a lower objective in fewer iterations
+    on a well-conditioned sparse problem."""
+    from semiblind_tv_tpu.solvers.spgl1 import project_l1_ball
+
+    m, n = 60, 120
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    x_true = np.zeros(n)
+    idx = rng.choice(n, 5, replace=False)
+    x_true[idx] = rng.standard_normal(5) * 2.0
+    b = A @ x_true + 0.005 * rng.standard_normal(m)
+    tau = 0.9 * np.sum(np.abs(x_true))
+
+    Aj = jnp.asarray(A)
+    ops = (lambda x: Aj @ x, lambda r: Aj.T @ r)
+
+    x_plain, r_plain, _, _ = spg_lasso(
+        jnp.asarray(b), None, None, tau, max_iter=120, A_ops=ops
+    )
+    x_sub, r_sub, _, _ = spg_lasso(
+        jnp.asarray(b), None, None, tau, max_iter=120, A_ops=ops,
+        subspace_min=True,
+    )
+    # feasibility
+    assert float(jnp.sum(jnp.abs(x_sub))) <= tau * (1 + 1e-6)
+    # no degradation; allow tiny slack for the different iterate path
+    assert float(r_sub) <= float(r_plain) * 1.02
+    # the refined run should essentially solve the face least-squares:
+    # residual close to the best achievable on the true support
+    xs = np.linalg.lstsq(A[:, idx], b, rcond=None)[0]
+    proj = project_l1_ball(jnp.zeros(n).at[jnp.asarray(idx)].set(jnp.asarray(xs)), tau)
+    r_best = np.linalg.norm(b - A @ np.asarray(proj))
+    assert float(r_sub) <= r_best * 1.35
