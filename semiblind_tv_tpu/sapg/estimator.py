@@ -172,8 +172,9 @@ def make_general_sapg_step(
         # path there; explicit use_fused_step overrides.
         uf = use_fused_cfg
         if uf is None:
+            # >512² can never fit the kernel's ~7 VMEM-resident fields
             uf = jax.default_backend() in ("tpu", "axon") and (
-                max(blur.shape) < 512 or B <= 24
+                max(blur.shape) <= 512 and (max(blur.shape) < 512 or B <= 24)
             )
         return bool(uf)
 
@@ -223,6 +224,9 @@ def make_general_sapg_step(
             use_fused_cfg is None
             and jax.default_backend() in ("tpu", "axon")
             and not resolve_use_fused(X.shape[0])
+            # the prox kernel's ~8 VMEM-resident fields also cap at 512²
+            # (31.77M scoped-VMEM OOM measured at 1024²)
+            and max(blur.shape) <= 512
         )
         if use_p:
             # the Pallas kernel batches chains natively (grid of B programs);

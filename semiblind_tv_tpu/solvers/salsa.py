@@ -196,7 +196,11 @@ def salsa_tv(
     (blur.otf_host) — it is passed into the compiled solve as re/im planes.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        # the Mosaic prox kernel's VMEM-resident fields cap at 512² (the
+        # 1024² kernel needs 31.77M scoped VMEM vs the 16M limit — r2)
+        use_pallas = jax.default_backend() in ("tpu", "axon") and max(
+            blur.shape
+        ) <= 512
     dtype = blur.dtype
     y = jnp.asarray(y, dtype)
     d = y.size
