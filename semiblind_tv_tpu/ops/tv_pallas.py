@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from semiblind_tv_tpu.ops.tv import ChambolleState
 
-__all__ = ["chambolle_prox_pallas"]
+__all__ = ["chambolle_prox_pallas", "chambolle_prox_tiled"]
 
 
 def _kernel(g_ref, scal_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_ref,
@@ -143,3 +143,186 @@ def chambolle_prox_pallas(
     if squeeze:
         f, px, py, iters, err = f[0], px[0], py[0], iters[0], err[0]
     return f, ChambolleState(px=px, py=py, iters=iters, err=err)
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled variant for images too large for whole-image VMEM residency
+# ---------------------------------------------------------------------------
+
+def _col_div(p):
+    """Column (Neumann) part of the divergence for a (rows, N) block."""
+    return jnp.concatenate(
+        [p[:, :1], p[:, 1:-1] - p[:, :-2], -p[:, -1:]], axis=1
+    )
+
+
+def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
+                  px_s, py_s, stash, smem,
+                  *, n_sweeps: int, tile_rows: int, n_tiles: int):
+    """Grid (n_sweeps + 2, T), T fastest.  Phase s=0 loads the zero duals
+    into the scratch fields; phases 1..n_sweeps are Jacobi dual-ascent
+    sweeps (tile t reads its own and tile t+1's rows at sweep s−1 from
+    scratch, and tile t−1's pre-update last row from the one-row stash);
+    the final phase assembles f from the converged duals.  px/py live in
+    VMEM scratch for the WHOLE solve — per sweep the only HBM traffic is
+    the streamed g blocks (the whole-image kernel needs ~8 resident fields
+    and caps at 512²; this one needs 2 fields + one tile's working set).
+    """
+    s = pl.program_id(0)
+    t = pl.program_id(1)
+    R = tile_rows
+    lam, tau, tol = scal_ref[0], scal_ref[1], scal_ref[2]
+    g = g_ref[...]
+    N = g.shape[1]
+    dtype = g.dtype
+    zrow = jnp.zeros((1, N), dtype)
+    is_first = t == 0
+    is_last = t == n_tiles - 1
+
+    @pl.when(jnp.logical_and(s == 0, t == 0))
+    def _init_smem():
+        smem[0] = 0.0          # err accumulator
+        smem[1] = 0.0          # iteration count k
+        smem[2] = jnp.inf      # last fixed-point residual
+        smem[3] = 1.0          # active flag
+
+    @pl.when(s == 0)
+    def _load():
+        px_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+        py_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+        f_ref[...] = g  # placeholder; overwritten by the final phase
+
+    @pl.when(jnp.logical_and(s >= 1, s <= n_sweeps))
+    def _sweep():
+        active = smem[3] > 0.0
+        px_t = px_s[pl.ds(t * R, R)]
+        py_t = py_s[pl.ds(t * R, R)]
+
+        above = jnp.where(is_first, zrow, stash[...])
+        u = px_t - jnp.concatenate([above, px_t[:-1, :]], axis=0)
+        last_u = jnp.where(is_last, -px_t[-1:, :], u[-1:, :])
+        u = jnp.concatenate([u[:-1, :], last_u], axis=0)
+        u = u + _col_div(py_t) - g / lam
+
+        # sweep-(s−1) u of the next tile's first row (its px/py rows are
+        # still un-updated in scratch; our own OLD last row is px_t[-1])
+        nxt = jnp.minimum((t + 1) * R, (n_tiles - 1) * R)
+        px_n0 = px_s[pl.ds(nxt, 1)]
+        py_n0 = py_s[pl.ds(nxt, 1)]
+        u_b = (px_n0 - px_t[-1:, :]) + _col_div(py_n0) - gnext_ref[0:1, :] / lam
+
+        upx = jnp.concatenate([u[1:, :], u_b], axis=0) - u
+        upx_last = jnp.where(is_last, jnp.zeros((1, N), dtype), upx[-1:, :])
+        upx = jnp.concatenate([upx[:-1, :], upx_last], axis=0)
+        upy = jnp.concatenate(
+            [u[:, 1:] - u[:, :-1], jnp.zeros((R, 1), dtype)], axis=1
+        )
+        tmp = jnp.sqrt(upx * upx + upy * upy)
+        rx = -upx + tmp * px_t
+        ry = -upy + tmp * py_t
+        partial = (jnp.sum(rx * rx) + jnp.sum(ry * ry)).astype(jnp.float32)
+
+        @pl.when(is_first)
+        def _():
+            smem[0] = partial
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            smem[0] = smem[0] + partial
+
+        denom = 1.0 + tau * tmp
+        new_px = jnp.where(active, (px_t + tau * upx) / denom, px_t)
+        new_py = jnp.where(active, (py_t + tau * upy) / denom, py_t)
+
+        # stash the OLD last row for tile t+1's halo, then commit
+        stash[...] = px_t[-1:, :]
+        px_s[pl.ds(t * R, R)] = new_px
+        py_s[pl.ds(t * R, R)] = new_py
+        f_ref[...] = new_px  # keep the revisited output block defined
+
+        @pl.when(is_last)
+        def _finalise_sweep():
+            err = jnp.sqrt(smem[0])
+            act = smem[3] > 0.0
+            smem[1] = jnp.where(act, smem[1] + 1.0, smem[1])
+            smem[2] = jnp.where(act, err, smem[2])
+            smem[3] = jnp.where(
+                jnp.logical_and(act, err > tol.astype(jnp.float32)), 1.0, 0.0
+            )
+
+    @pl.when(s == n_sweeps + 1)
+    def _assemble():
+        px_t = px_s[pl.ds(t * R, R)]
+        py_t = py_s[pl.ds(t * R, R)]
+        prev = jnp.maximum(t * R - 1, 0)
+        above = jnp.where(is_first, zrow, px_s[pl.ds(prev, 1)])
+        u = px_t - jnp.concatenate([above, px_t[:-1, :]], axis=0)
+        last_u = jnp.where(is_last, -px_t[-1:, :], u[-1:, :])
+        u = jnp.concatenate([u[:-1, :], last_u], axis=0)
+        f_ref[...] = g - lam * (u + _col_div(py_t))
+
+        @pl.when(is_last)
+        def _meta():
+            meta_ref[0] = smem[1]
+            meta_ref[1] = smem[2]
+
+
+@partial(jax.jit, static_argnames=("max_iter", "tile_rows", "interpret"))
+def chambolle_prox_tiled(
+    g: jnp.ndarray,
+    lam,
+    max_iter: int,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    tile_rows: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ChambolleState]:
+    """Chambolle prox for images whose whole-image kernel exceeds VMEM
+    (>512²): duals stay VMEM-scratch-resident across all sweeps while the
+    image streams through in row tiles.  Same math/early exit as
+    ops.tv.chambolle_prox (fresh duals; the tiled variant does not take or
+    return warm-start duals — its SAPG use discards them)."""
+    M, N = g.shape
+    assert M % tile_rows == 0, (M, tile_rows)
+    T = M // tile_rows
+    scal = jnp.stack(
+        [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype), jnp.asarray(tol, g.dtype)]
+    )
+    f, meta = pl.pallas_call(
+        partial(_tiled_kernel, n_sweeps=max_iter, tile_rows=tile_rows, n_tiles=T),
+        grid=(max_iter + 2, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, N), g.dtype),
+            jax.ShapeDtypeStruct((2,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((tile_rows, N), lambda s, t: (t, 0), memory_space=pltpu.VMEM),
+            # (8, N) halo block (Mosaic sublane minimum); only row 0 is used.
+            # Block index units: rows/8.
+            pl.BlockSpec(
+                (8, N),
+                lambda s, t: (
+                    jnp.minimum((t + 1) * (tile_rows // 8), (T - 1) * (tile_rows // 8)),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_rows, N), lambda s, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((M, N), g.dtype),      # px
+            pltpu.VMEM((M, N), g.dtype),      # py
+            pltpu.VMEM((1, N), g.dtype),      # previous tile's old last px row
+            pltpu.SMEM((4,), jnp.float32),    # err acc, k, err, active
+        ],
+        interpret=interpret,
+    )(g, g, scal)
+    iters = meta[0].astype(jnp.int32)
+    err = meta[1].astype(g.dtype)
+    return f, ChambolleState(
+        px=jnp.zeros_like(g), py=jnp.zeros_like(g), iters=iters, err=err
+    )

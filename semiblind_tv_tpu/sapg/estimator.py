@@ -215,6 +215,25 @@ def make_general_sapg_step(
     tv_b = jax.vmap(tv_norm)
 
     def prox_b(X, lam_theta):
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # >512² single chain: row-tiled kernel (duals in VMEM scratch, image
+        # streamed in row blocks) — bit-identical to the XLA path and ~17%
+        # faster amortized at 1024² (RESULTS.md r2)
+        if (
+            not sapg.use_pallas_prox
+            and use_fused_cfg is None
+            and on_tpu
+            and max(blur.shape) > 512
+            and X.shape[0] == 1
+            and blur.shape[0] % 128 == 0
+        ):
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+            f, st = chambolle_prox_tiled(
+                X[0], lam_theta, sapg.chambolle_iters,
+                tau=sapg.chambolle_tau, tol=sapg.chambolle_tol,
+            )
+            return f[None], st
         # Pallas prox when asked for explicitly, OR as the TPU auto fallback
         # when the fused step kernel is gated off by chain count (B ≥ 32 at
         # 512²): the XLA vmapped prox goes HBM-bound there (1.4k vs 5.2k
@@ -222,10 +241,10 @@ def make_general_sapg_step(
         # Pallas kernel keeps each chain's duals VMEM-resident.
         use_p = sapg.use_pallas_prox or (
             use_fused_cfg is None
-            and jax.default_backend() in ("tpu", "axon")
+            and on_tpu
             and not resolve_use_fused(X.shape[0])
-            # the prox kernel's ~8 VMEM-resident fields also cap at 512²
-            # (31.77M scoped-VMEM OOM measured at 1024²)
+            # the whole-image prox kernel's ~8 VMEM-resident fields cap at
+            # 512² (31.77M scoped-VMEM OOM measured at 1024²)
             and max(blur.shape) <= 512
         )
         if use_p:

@@ -93,3 +93,22 @@ def test_fused_step_interpret_matches_unfused():
         np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xr), rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(pr), rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(float(tvb[i]), float(tv_norm(xr)), rtol=1e-10)
+
+
+def test_tiled_chambolle_interpret_matches_xla():
+    """Row-tiled prox (duals in VMEM scratch, image streamed in row blocks)
+    vs the whole-image op: identical f, iteration counts, and early exit."""
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+    g = jax.random.uniform(jax.random.key(2), (128, 96), jnp.float64) * 255
+    for lam in (0.05, 5.0):
+        f_ref, st_ref = chambolle_prox(g, lam, 25)
+        f_t, st_t = chambolle_prox_tiled(g, lam, 25, tile_rows=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_ref), atol=1e-12)
+        assert int(st_t.iters) == int(st_ref.iters)
+    # early exit fires identically on an easy problem
+    g2 = jnp.ones((64, 64), jnp.float64)
+    f_ref, st_ref = chambolle_prox(g2, 0.5, 25)
+    f_t, st_t = chambolle_prox_tiled(g2, 0.5, 25, tile_rows=16, interpret=True)
+    assert int(st_t.iters) == int(st_ref.iters) < 25
+    np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_ref), atol=1e-12)

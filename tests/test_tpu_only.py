@@ -195,3 +195,20 @@ def test_operating_point_bands_laplace_wheel():
     assert abs(results["psf_params_EB"]["b"] - 0.3) < 0.08
     assert abs(np.log(results["sigma2_EB"] / results["sigma2_true"])) < 0.06
     assert results["mse_db"] < results["mse_db_observation"] - 4.0
+
+
+@requires_tpu
+def test_tiled_chambolle_bit_identical_1024():
+    """Row-tiled prox kernel vs the XLA op at 1024² on the real chip
+    (the whole-image kernel cannot compile at this size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.tv import chambolle_prox
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+    g = jax.random.uniform(jax.random.key(0), (1024, 1024), jnp.float32) * 255
+    f_ref, st_ref = chambolle_prox(g, jnp.float32(0.05), 25)
+    f_t, st_t = chambolle_prox_tiled(g, jnp.float32(0.05), 25, tile_rows=128)
+    assert float(jnp.max(jnp.abs(f_t - f_ref))) == 0.0
+    assert int(st_t.iters) == int(st_ref.iters)
