@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--psf", choices=["laplace", "moffat"], default="moffat")
+    p.add_argument("--psf", choices=["gaussian", "laplace", "moffat"], default="moffat")
     p.add_argument("--image", default="wheel")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--samples", type=int, default=20_000)

@@ -185,6 +185,25 @@ def np_sapg_gaussian_step(
 # Reference-quirk PSF gradients (quotient rule over the normalisation)
 # ---------------------------------------------------------------------------
 
+def np_gaussian_kernel_grads(size, w1, w2, phi=0.0):
+    """Normalised anisotropic-Gaussian kernel + reference-formula grads
+    (diff_fftgaus_w1.m / diff_fftgaus_w2.m, quotient rule over the
+    normalisation as in Sum_gauss_psf.m)."""
+    v, u = grid(size)
+    U = u * np.cos(phi) - v * np.sin(phi)
+    V = u * np.sin(phi) + v * np.cos(phi)
+    c = w1**2 * U**2 + w2**2 * V**2
+    e = np.exp(-c / 2)
+    f = (w1 * w2) / (2 * np.pi) * e
+    dw1 = (w2 / (2 * np.pi)) * (1 - w1**2 * U**2) * e
+    dw2 = (w1 / (2 * np.pi)) * (1 - w2**2 * V**2) * e
+    S, S1, S2 = f.sum(), dw1.sum(), dw2.sum()
+    k = f / S
+    g1 = (dw1 * S - f * S1) / S**2
+    g2 = (dw2 * S - f * S2) / S**2
+    return k, g1, g2
+
+
 def np_laplace_kernel_grads(size, b):
     """Normalised Laplace kernel + reference-formula db grad
     (diff_laplace_b.m:9-13, sums from sum_lap_psf.m)."""
@@ -236,6 +255,16 @@ def np_moffat_kernel_grads(size, a, b):
 _DYNAMICS_FAMILIES = {
     # name: (param names, inits, boxes, step consts, truth, bsnr range,
     #        lambda_max, gamma multiplier, Lf aggregation over the sigma² box)
+    "gaussian": dict(
+        # run_Gaussian_demo.m:32-89 (phi = 0; the published demo pins w1/w2
+        # — this spec estimates them, the drift-study configuration)
+        params=("w1", "w2"), inits=(0.5, 0.3),
+        boxes=((0.1, 1.0), (0.1, 1.0)),
+        c_params=(10.0, 10.0), c_theta=0.01, c_sigma2=1000.0,
+        true_params=(0.4, 0.3), bsnr_range=(15.0, 45.0), lambda_max=2.0,
+        gamma_mult=1.0, lf_agg=min, evmax_params=(1.0, 1.0),
+        kernel_grads=lambda p, size: np_gaussian_kernel_grads(size, p[0], p[1]),
+    ),
     "laplace": dict(
         params=("b",), inits=(0.1,), boxes=((1e-3, 1.0),),
         c_params=(100.0,), c_theta=0.01, c_sigma2=10_000.0,

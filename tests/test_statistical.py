@@ -133,3 +133,21 @@ def test_laplace_estimation_stays_well_posed():
         np.log(float(problem.sigma2_init)) - np.log(sigma2_true)
     )
     assert 1e-3 <= res.theta_EB <= 1.0
+
+
+def test_gaussian_dynamics_oracle_smoke():
+    """The Gaussian family of the dynamics simulator (run_Gaussian_demo.m
+    constants, w1/w2 free): finite trajectories, box-respecting iterates,
+    σ² moving toward truth from the BSNR-midpoint init."""
+    import oracles
+
+    x = np.asarray(synthetic_wheel(48), dtype=np.float64)
+    res = oracles.np_sapg_dynamics_run(x, "gaussian", seed=7, samples=200, warmup=100)
+    for p in ("w1", "w2"):
+        tr = res[p + "s"]
+        assert np.all(np.isfinite(tr[1:]))
+        assert np.all(tr[1:] >= 0.1 - 1e-12) and np.all(tr[1:] <= 1.0 + 1e-12)
+    assert np.all(np.isfinite(res["logPiTrace"]))
+    assert abs(np.log(res["sigma2_EB"] / res["sigma2_true"])) < abs(
+        np.log(res["sigma2_init"] / res["sigma2_true"])
+    )
