@@ -392,7 +392,11 @@ def _spatial_otf(kernel, Fx, Fy, rows_local, axis_name):
     return H.real, H.imag
 
 
-def run_sapg_spatial(problem, mesh: Mesh, key, x0=None):
+def run_sapg_spatial(
+    problem, mesh: Mesh, key, x0=None,
+    checkpoint_every=None, checkpoint_path=None, checkpoint_backend="npz",
+    nan_guard=True, max_restores=1, fault_hook=None,
+):
     """Warm-up + SAPG + EB extraction with the IMAGE row-sharded over a
     ('space',) mesh — the giant-image estimator (one Markov chain whose
     state never fits, or never needs to fit, on one chip).
@@ -487,18 +491,23 @@ def run_sapg_spatial(problem, mesh: Mesh, key, x0=None):
         }
         return H, dHs
 
+    carry_specs = (
+        P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+        P(), P(), P(), {s.name: P() for s in psf_specs},
+    )
+    trace_specs = {k: P() for k in _trace_keys(psf_names)}
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None), P()),
-        out_specs=(P(axis, None), P(), P(), P(), {k: P() for k in _trace_keys(psf_names)}),
+        out_specs=(carry_specs, P(), P()),
     )
-    def run_all(y_l, key_c):
+    def warm_all(y_l, key_c):
         w = jnp.asarray(w_full, dtype)
         yh_re, yh_im = spatial_rfft2(y_l, mats, axis)
         H0re = local_slice(np.ascontiguousarray(H0_full.real))
         H0im = local_slice(np.ascontiguousarray(H0_full.imag))
 
-        # ---- warm-up at fixed hyperparameters ----------------------------
         prox0 = spatial_prox(y_l, lam * theta0)
         Xh_re0, Xh_im0 = spatial_rfft2(y_l, mats, axis)
 
@@ -528,8 +537,18 @@ def run_sapg_spatial(problem, mesh: Mesh, key, x0=None):
         res2_0 = pnorm2(H0re * Xre - H0im * Xim - yh_re,
                         H0re * Xim + H0im * Xre - yh_im, w)
         logpi0 = -res2_0 / (2.0 * sigma0) - theta0 * spatial_tv_norm(Xl, axis)
+        carry = (Xl, Xre, Xim, prox, key_c, theta0, sigma0, params0)
+        return carry, logpi_wu, logpi0
 
-        # ---- main SAPG loop ----------------------------------------------
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(carry_specs, (P(axis, None), P(axis, None)), P()),
+        out_specs=(carry_specs, trace_specs),
+    )
+    def main_seg(carry, yh, iis):
+        w = jnp.asarray(w_full, dtype)
+        yh_re, yh_im = yh
+
         def step(carry, ii):
             Xl, Xre, Xim, prox, key_c, theta, sigma2, params = carry
             (Hre, Him), dHs = otfs_local(params)
@@ -584,19 +603,94 @@ def run_sapg_spatial(problem, mesh: Mesh, key, x0=None):
             )
             return (Xn, Xre_n, Xim_n, proxn, key_c, theta_n, sigma_n, params_n), trace
 
-        init = (Xl, Xre, Xim, prox, key_c, theta0, sigma0, params0)
-        iis = jnp.arange(2, sapg.samples + 1).astype(dtype)
-        (Xl, *_r), traces = jax.lax.scan(step, init, iis)
-        return Xl, logpi_wu, logpi0, res2_0 * 0.0, traces
+        return jax.lax.scan(step, carry, iis.astype(dtype))
 
+    import os as _os
     import time as _time
+
+    from semiblind_tv_tpu.runtime.checkpoint import (
+        load_checkpoint_arrays, save_checkpoint_arrays,
+    )
+    from semiblind_tv_tpu.sapg.estimator import run_segmented_scan
 
     # same per-chain key derivation as the single-device estimator at
     # n_chains=1 (run_sapg: keys = jax.random.split(key, n_chains))
     key0 = jax.random.split(key, 1)[0]
 
+    rfft_y = jax.jit(
+        jax.shard_map(
+            lambda y_l: spatial_rfft2(y_l, mats, axis),
+            mesh=mesh, in_specs=(P(axis, None),),
+            out_specs=(P(axis, None), P(axis, None)),
+        )
+    )
+    yh = rfft_y(y_sh)
+
+    def _reshard(arr):
+        return shard_rows(jnp.asarray(arr), mesh, axis)
+
+    def _save(path, carry, done, segs, logpi_wu, logpi0):
+        Xl, Xre, Xim, prox, key_c, theta, sigma2, params = carry
+        merged = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *segs)
+        arrays = {f"trace/{k}": v for k, v in merged.items()}
+        arrays.update(
+            X=np.asarray(Xl), Xre=np.asarray(Xre), Xim=np.asarray(Xim),
+            prox=np.asarray(prox),
+            keys=np.asarray(jax.random.key_data(key_c)),
+            theta=np.asarray(theta), sigma2=np.asarray(sigma2),
+            done_iters=np.asarray(done),
+            logpi_wu=np.asarray(logpi_wu), logpi0=np.asarray(logpi0),
+        )
+        for k, v in params.items():
+            arrays[f"param/{k}"] = np.asarray(v)
+        save_checkpoint_arrays(path, arrays, backend=checkpoint_backend)
+
+    logpi_state = {}
+
+    def _restore():
+        z = load_checkpoint_arrays(checkpoint_path, backend=checkpoint_backend)
+        params = {k[len("param/"):]: jnp.asarray(z[k], dtype)
+                  for k in z if k.startswith("param/")}
+        carry = (
+            _reshard(z["X"]), _reshard(z["Xre"]), _reshard(z["Xim"]),
+            _reshard(z["prox"]),
+            jax.random.wrap_key_data(jnp.asarray(z["keys"])),
+            jnp.asarray(z["theta"], dtype), jnp.asarray(z["sigma2"], dtype),
+            params,
+        )
+        traces = {k[len("trace/"):]: z[k] for k in z if k.startswith("trace/")}
+        logpi_state["wu"] = z["logpi_wu"]
+        logpi_state["0"] = z["logpi0"]
+        return carry, int(z["done_iters"]), [traces]
+
     t0 = _time.perf_counter()
-    X_last, logpi_wu, logpi0, _unused, traces = run_all(y_sh, key0)
+    resume = checkpoint_path is not None and _os.path.exists(checkpoint_path)
+    if resume:
+        carry0 = logpi_wu = logpi0 = None
+    else:
+        carry0, logpi_wu, logpi0 = jax.jit(warm_all)(y_sh, key0)
+
+    seg = jax.jit(lambda c, iis: main_seg(c, yh, iis))
+    carry, seg_traces = run_segmented_scan(
+        seg, carry0, sapg.samples,
+        checkpoint_every=checkpoint_every,
+        checkpoint_path=checkpoint_path,
+        save_fn=lambda c, done, segs: _save(
+            checkpoint_path, c, done, segs,
+            logpi_state.get("wu", logpi_wu), logpi_state.get("0", logpi0),
+        ),
+        restore_fn=_restore,
+        fault_hook=fault_hook,
+        nan_guard=nan_guard,
+        max_restores=max_restores,
+    )
+    if resume or "wu" in logpi_state:
+        logpi_wu, logpi0 = logpi_state["wu"], logpi_state["0"]
+    traces = (
+        jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *seg_traces)
+        if len(seg_traces) > 1 else seg_traces[0]
+    )
+    X_last = carry[0]
     jax.block_until_ready(X_last)
     exec_time = _time.perf_counter() - t0
 
