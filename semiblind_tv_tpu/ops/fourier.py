@@ -217,7 +217,8 @@ class BlurOperator:
     Parseval weights; the OTF is passed in (it changes every SAPG step).
     """
 
-    def __init__(self, shape, psf_size: int, dtype=jnp.float32, fft_mode: str = "fft"):
+    def __init__(self, shape, psf_size: int, dtype=jnp.float32, fft_mode: str = "fft",
+                 precision=None):
         self.shape = tuple(shape)
         self.psf_size = int(psf_size)
         self.dtype = dtype
@@ -233,6 +234,14 @@ class BlurOperator:
             raise ValueError(f"fft_mode must be 'fft' or 'dft', got {fft_mode!r}")
         self.fft_mode = fft_mode
         self._rdft = rdft_matrices(shape, dtype) if fft_mode == "dft" else None
+        # precision of the per-apply transform matmuls (NOT the OTF matmuls,
+        # which always run HIGHEST — H feeds every gradient).  HIGH (3-pass
+        # bf16) carries ~1.1e-6 relative spectral error vs HIGHEST's 1.2e-8
+        # — far below the Langevin noise floor — and lifts the 16-chain
+        # flagship step +19% (5983 vs 5025 chain-iter/s, RESULTS.md r2).
+        self.precision = (
+            jax.lax.Precision.HIGHEST if precision is None else precision
+        )
 
     def otf(self, kernel: jnp.ndarray) -> jnp.ndarray:
         return otf_rfft(kernel, self.shape, self.factors)
@@ -274,12 +283,12 @@ class BlurOperator:
 
     def rfft(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.fft_mode == "dft":
-            return rfft2_matmul(x, self._rdft)
+            return rfft2_matmul(x, self._rdft, precision=self.precision)
         return jnp.fft.rfft2(x)
 
     def irfft(self, xhat: jnp.ndarray) -> jnp.ndarray:
         if self.fft_mode == "dft":
-            return irfft2_matmul(xhat, self._rdft).astype(self.dtype)
+            return irfft2_matmul(xhat, self._rdft, precision=self.precision).astype(self.dtype)
         return jnp.fft.irfft2(xhat, s=self.shape).astype(self.dtype)
 
     def apply(self, x: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:

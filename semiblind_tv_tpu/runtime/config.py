@@ -65,6 +65,15 @@ class SAPGConfig:
                                     # Bit-identical to the unfused path and
                                     # +9% at 1 chain / +33% at 16 chains on
                                     # v5e (RESULTS.md)
+    fft_precision: Optional[str] = None
+                                    # matmul precision of the per-apply dft
+                                    # transforms: 'highest' (6-pass, exact to
+                                    # 1.2e-8) or 'high' (3-pass bf16, 1.1e-6
+                                    # — below the Langevin noise floor, +19%
+                                    # at the 16-chain flagship).  None = auto:
+                                    # 'high' on TPU hot loops, 'highest'
+                                    # elsewhere.  OTF matmuls ALWAYS run
+                                    # HIGHEST.
     fuse_dft: Optional[bool] = None # fuse the DFT matmul transforms INTO the
                                     # Pallas step kernel (one launch per SAPG
                                     # iteration: irfft∘gradF + MYULA + prox +

@@ -114,7 +114,18 @@ def build_problem(
         # (2316 vs 1843 chain-iter/s at 1 chain, 5033 vs 4300 at 16 —
         # RESULTS.md); jnp.fft is exact and stays the CPU/test default.
         fft_mode = "dft" if jax.default_backend() in ("tpu", "axon") else "fft"
-    blur = BlurOperator(x.shape, cfg.psf_size, dtype, fft_mode=fft_mode)
+    prec = cfg.sapg.fft_precision
+    if prec is None:
+        # auto: HIGH (3-pass bf16) on TPU hot loops — 1.1e-6 relative
+        # spectral error, below the Langevin noise floor, +19% flagship
+        # throughput (RESULTS.md r2); exact HIGHEST elsewhere
+        prec = "high" if jax.default_backend() in ("tpu", "axon") else "highest"
+    precision = {
+        "high": jax.lax.Precision.HIGH, "highest": jax.lax.Precision.HIGHEST,
+    }[prec]
+    blur = BlurOperator(
+        x.shape, cfg.psf_size, dtype, fft_mode=fft_mode, precision=precision
+    )
     d = x.size
 
     true_params = {k: jnp.asarray(v, dtype) for k, v in cfg.true_psf_params().items()}
