@@ -96,7 +96,7 @@ def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
                 cm_ref, sm_ref, wct_ref, wst_ref, cn_ref, sn_ref,
                 scal_ref,
                 xn_ref, proxn_ref, tv_ref, xhre_ref, xhim_ref,
-                *, n_sweeps: int, positivity: bool):
+                *, n_sweeps: int, positivity: bool, precision):
     """Whole-iteration kernel: irfft2(Ghat)/σ² + MYULA + Chambolle prox +
     TV norm + rfft2(Xn), all VMEM-resident, DFTs as in-kernel MXU matmuls
     (same math as ops/fourier.rfft2_matmul/irfft2_matmul)."""
@@ -111,10 +111,8 @@ def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
     M, N = x.shape
     zrow = jnp.zeros((1, N), x.dtype)
     zcol = jnp.zeros((M, 1), x.dtype)
-    hp = jax.lax.Precision.HIGHEST
-
     def mm(a, b):
-        return jnp.dot(a, b, precision=hp, preferred_element_type=x.dtype)
+        return jnp.dot(a, b, precision=precision, preferred_element_type=x.dtype)
 
     # ---- gradF = irfft2(Ghat)/σ² : inverse columns then hermitian rows ----
     cm, sm = cm_ref[...], sm_ref[...]
@@ -174,7 +172,7 @@ def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
     xhim_ref[0] = mm(cm, fim) - mm(sm, fre)
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "interpret"))
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "interpret", "precision"))
 def myula_prox_tv_dft(
     ghat: jnp.ndarray,
     x: jnp.ndarray,
@@ -190,6 +188,7 @@ def myula_prox_tv_dft(
     tol: float = 1e-3,
     positivity: bool = True,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One launch per SAPG iteration: returns (x_new, prox_new, tv, xhat_new).
 
@@ -205,6 +204,10 @@ def myula_prox_tv_dft(
             "myula_prox_tv_dft requires a TPU backend (Mosaic kernel); on "
             f"{jax.default_backend()!r} use the unfused path or interpret=True"
         )
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions; HIGH (the TPU
+    # hot-loop auto for the XLA transform path) coerces to HIGHEST here
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
     squeeze = x.ndim == 2
     if squeeze:
         ghat, x, prox_cache, z = ghat[None], x[None], prox_cache[None], z[None]
@@ -221,7 +224,8 @@ def myula_prox_tv_dft(
     mat_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     mats = [jnp.asarray(rdft_mats[k], x.dtype) for k in ("CM", "SM", "WCT", "WST", "CN", "SN")]
     xn, proxn, tv, xhre, xhim = pl.pallas_call(
-        partial(_kernel_dft, n_sweeps=n_sweeps, positivity=bool(positivity)),
+        partial(_kernel_dft, n_sweeps=n_sweeps, positivity=bool(positivity),
+                precision=precision),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),

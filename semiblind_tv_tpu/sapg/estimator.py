@@ -300,6 +300,7 @@ def make_general_sapg_step(
                 gam, lam, lam * theta, sigma2,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                precision=blur.precision,
             )
         elif resolve_use_fused(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
@@ -416,6 +417,7 @@ def make_general_sapg_step(
                 gam, lam, lam * theta0_c, sigma0,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,
+                precision=blur.precision,
             )
         elif resolve_use_fused(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
