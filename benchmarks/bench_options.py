@@ -42,6 +42,10 @@ def measure(variant: str, n_chains: int) -> float:
     elif variant == "onekernel":     # whole-iteration kernel incl. DFT matmuls
         mods["use_fused_step"] = True
         mods["fuse_dft"] = True
+    elif variant == "irdft":         # two-region split: irfft fused, rfft in XLA
+        mods["use_fused_step"] = True
+        mods["fuse_dft"] = False
+        mods["fuse_irdft"] = True
     elif variant == "pallas_prox":
         mods["use_pallas_prox"] = True
     elif variant != "default":
