@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from semiblind_tv_tpu.ops.tv_pallas import chunked_chain_call
+
 __all__ = ["myula_prox_tv", "myula_prox_tv_dft", "myula_prox_tv_irdft"]
 
 
@@ -223,29 +225,36 @@ def myula_prox_tv_dft(
     # one shared full block for every grid program
     mat_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     mats = [jnp.asarray(rdft_mats[k], x.dtype) for k in ("CM", "SM", "WCT", "WST", "CN", "SN")]
-    xn, proxn, tv, xhre, xhim = pl.pallas_call(
-        partial(_kernel_dft, n_sweeps=n_sweeps, positivity=bool(positivity),
-                precision=precision),
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((B,), x.dtype),
-            jax.ShapeDtypeStruct((B, M, Nh), x.dtype),
-            jax.ShapeDtypeStruct((B, M, Nh), x.dtype),
-        ),
-        in_specs=[half_spec(), half_spec(), img_spec(), img_spec(), img_spec()]
-        + [mat_spec(m) for m in mats]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
-            img_spec(),
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            half_spec(),
-            half_spec(),
-        ),
-        interpret=interpret,
-    )(ghat.real, ghat.imag, x, prox_cache, z, *mats, scal)
+
+    def run(ghre, ghim, xc, proxc, zc):
+        Bc = xc.shape[0]
+        return pl.pallas_call(
+            partial(_kernel_dft, n_sweeps=n_sweeps, positivity=bool(positivity),
+                    precision=precision),
+            grid=(Bc,),
+            out_shape=(
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct((Bc,), xc.dtype),
+                jax.ShapeDtypeStruct((Bc, M, Nh), xc.dtype),
+                jax.ShapeDtypeStruct((Bc, M, Nh), xc.dtype),
+            ),
+            in_specs=[half_spec(), half_spec(), img_spec(), img_spec(), img_spec()]
+            + [mat_spec(m) for m in mats]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                half_spec(),
+                half_spec(),
+            ),
+            interpret=interpret,
+        )(ghre, ghim, xc, proxc, zc, *mats, scal)
+
+    xn, proxn, tv, xhre, xhim = chunked_chain_call(
+        run, (ghat.real, ghat.imag, x, prox_cache, z)
+    )
     xhat = jax.lax.complex(xhre, xhim)
     if squeeze:
         xn, proxn, tv, xhat = xn[0], proxn[0], tv[0], xhat[0]
@@ -287,28 +296,33 @@ def myula_prox_tv(
          jnp.asarray(tol, x.dtype)]
     )
     img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    xn, proxn, tv = pl.pallas_call(
-        partial(_kernel, n_sweeps=n_sweeps, positivity=bool(positivity)),
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((B,), x.dtype),
-        ),
-        in_specs=[
-            img_spec(),
-            img_spec(),
-            img_spec(),
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            img_spec(),
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
-    )(x, prox_cache, grad_f, z, scal)
+
+    def run(xc, proxc, gradc, zc):
+        Bc = xc.shape[0]
+        return pl.pallas_call(
+            partial(_kernel, n_sweeps=n_sweeps, positivity=bool(positivity)),
+            grid=(Bc,),
+            out_shape=(
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct((Bc,), xc.dtype),
+            ),
+            in_specs=[
+                img_spec(),
+                img_spec(),
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )(xc, proxc, gradc, zc, scal)
+
+    xn, proxn, tv = chunked_chain_call(run, (x, prox_cache, grad_f, z))
     if squeeze:
         xn, proxn, tv = xn[0], proxn[0], tv[0]
     return xn, proxn, tv
@@ -427,25 +441,30 @@ def myula_prox_tv_irdft(
     half_spec = lambda: pl.BlockSpec((1, M, Nh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     mats = [jnp.asarray(rdft_mats[k], x.dtype) for k in ("CM", "SM", "WCT", "WST")]
-    xn, proxn, tv = pl.pallas_call(
-        partial(_kernel_irdft, n_sweeps=n_sweeps, positivity=bool(positivity),
-                precision=precision),
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((B,), x.dtype),
-        ),
-        in_specs=[half_spec(), half_spec(), img_spec(), img_spec(), img_spec()]
-        + [mat_spec(m) for m in mats]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
-            img_spec(),
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
-    )(ghat.real, ghat.imag, x, prox_cache, z, *mats, scal)
+
+    def run(ghre, ghim, xc, proxc, zc):
+        Bc = xc.shape[0]
+        return pl.pallas_call(
+            partial(_kernel_irdft, n_sweeps=n_sweeps, positivity=bool(positivity),
+                    precision=precision),
+            grid=(Bc,),
+            out_shape=(
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct((Bc,), xc.dtype),
+            ),
+            in_specs=[half_spec(), half_spec(), img_spec(), img_spec(), img_spec()]
+            + [mat_spec(m) for m in mats]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )(ghre, ghim, xc, proxc, zc, *mats, scal)
+
+    xn, proxn, tv = chunked_chain_call(run, (ghat.real, ghat.imag, x, prox_cache, z))
     if squeeze:
         xn, proxn, tv = xn[0], proxn[0], tv[0]
     return xn, proxn, tv

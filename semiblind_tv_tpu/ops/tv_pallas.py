@@ -28,7 +28,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from semiblind_tv_tpu.ops.tv import ChambolleState
 
-__all__ = ["chambolle_prox_pallas", "chambolle_prox_tiled"]
+__all__ = ["chambolle_prox_pallas", "chambolle_prox_tiled", "chunked_chain_call"]
+
+# Largest chain-grid the 512² whole-image Mosaic kernels are known to compile
+# at on this runtime: B = 32 compiles for the prox kernel (RESULTS.md r2) but
+# B ≥ 48 crashes the remote compiler for BOTH kernels, so every batched
+# wrapper chunks larger batches into sequential ≤MAX_GRID_CHAINS grids via
+# lax.map.  TPU grid programs are sequential per core anyway, so chunking
+# costs nothing beyond the (tiny) per-launch overhead — a user asking for
+# B = 64 chains gets the per-chip plateau rate instead of a compiler crash.
+MAX_GRID_CHAINS = 24
+
+
+def chunked_chain_call(run, arrays, max_grid: int = MAX_GRID_CHAINS):
+    """Run `run(*arrays)` — a batched Mosaic kernel whose grid is the shared
+    leading (chain) dimension of `arrays`, returning a tuple of arrays with
+    the same leading dimension — in balanced sequential chunks of at most
+    `max_grid` chains.
+
+    Balanced chunking (nc = ceil(B/max), chunk = ceil(B/nc)) minimises
+    zero-padding: B = 48 runs as 2×24 with no padding, B = 64 as 3×22 with
+    2 padded chains whose outputs are discarded.
+    """
+    B = arrays[0].shape[0]
+    if B <= max_grid:
+        return run(*arrays)
+    nc = -(-B // max_grid)
+    chunk = -(-B // nc)
+    pad = nc * chunk - B
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a.reshape((nc, chunk) + a.shape[1:])
+
+    outs = jax.lax.map(lambda xs: run(*xs), tuple(prep(a) for a in arrays))
+    return tuple(o.reshape((nc * chunk,) + o.shape[2:])[:B] for o in outs)
 
 
 def _kernel(g_ref, scal_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_ref,
@@ -83,7 +118,60 @@ def _kernel(g_ref, scal_ref, px_in_ref, py_in_ref, f_ref, px_ref, py_ref, meta_r
     meta_ref[i, 1] = err.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def _kernel_fresh(g_ref, scal_ref, f_ref, meta_ref, *, max_iter: int):
+    """Lean variant for the SAPG inner prox: duals always start at zero and
+    are never returned (the SAPG step discards them — estimator.prox_b), so
+    they stay loop-carried VMEM temps instead of I/O blocks.  That cuts the
+    kernel's image-sized I/O from 6 blocks to 2: with Mosaic's grid
+    double-buffering the fat kernel's scoped-VMEM footprint is 16.68 MB at
+    512² (> the 16 MB limit — the r2 ≥48-chain "remote-compiler crash" was
+    exactly this OOM surfaced as an HTTP 500), while this one fits at any
+    chain count."""
+    g = g_ref[0]
+    lam, tau, tol = scal_ref[0], scal_ref[1], scal_ref[2]
+    glam = g / lam
+
+    M, N = g.shape
+    zrow = jnp.zeros((1, N), g.dtype)
+    zcol = jnp.zeros((M, 1), g.dtype)
+
+    def div(p1, p2):
+        u = jnp.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
+        v = jnp.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
+        return u + v
+
+    def body(_, carry):
+        px, py, k, err, active = carry
+        u = div(px, py) - glam
+        upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
+        upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol], axis=1)
+        tmp = jnp.sqrt(upx * upx + upy * upy)
+        rx = -upx + tmp * px
+        ry = -upy + tmp * py
+        step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
+        denom = 1.0 + tau * tmp
+        px = jnp.where(active, (px + tau * upx) / denom, px)
+        py = jnp.where(active, (py + tau * upy) / denom, py)
+        err = jnp.where(active, step_err, err)
+        k = k + active.astype(k.dtype)
+        active = jnp.logical_and(active, step_err > tol)
+        return px, py, k, err, active
+
+    init = (
+        jnp.zeros_like(g),
+        jnp.zeros_like(g),
+        jnp.zeros((), jnp.float32),
+        jnp.array(jnp.inf, g.dtype),
+        jnp.array(True),
+    )
+    px, py, k, err, _ = jax.lax.fori_loop(0, max_iter, body, init)
+    f_ref[0] = g - lam * div(px, py)
+    i = pl.program_id(0)
+    meta_ref[i, 0] = k
+    meta_ref[i, 1] = err.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "interpret", "return_state"))
 def chambolle_prox_pallas(
     g: jnp.ndarray,
     lam,
@@ -92,16 +180,54 @@ def chambolle_prox_pallas(
     tol: float = 1e-3,
     duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     interpret: bool = False,
+    return_state: bool = True,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
     """Drop-in replacement for ops.tv.chambolle_prox backed by a Pallas kernel.
 
     Accepts a single (M, N) image or a (B, M, N) chain batch (grid of B
     programs, duals VMEM-resident per program).  interpret=True runs the
-    kernel in Pallas interpret mode (CPU test coverage of the kernel math)."""
+    kernel in Pallas interpret mode (CPU test coverage of the kernel math).
+
+    return_state=False (requires duals=None) selects the lean fresh-duals
+    kernel — duals in VMEM scratch, f the only image-sized output; the
+    returned state carries zero px/py (callers discard it).  This is the
+    only 512² form whose scoped-VMEM footprint fits at high chain counts."""
     squeeze = g.ndim == 2
     if squeeze:
         g = g[None]
     B, M, N = g.shape
+    scal = jnp.stack(
+        [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype), jnp.asarray(tol, g.dtype)]
+    )
+
+    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    if not return_state:
+        if duals is not None:
+            raise ValueError("return_state=False requires duals=None (fresh duals)")
+
+        def run_fresh(gc):
+            Bc = gc.shape[0]
+            return pl.pallas_call(
+                partial(_kernel_fresh, max_iter=max_iter),
+                grid=(Bc,),
+                out_shape=(
+                    jax.ShapeDtypeStruct(gc.shape, gc.dtype),
+                    jax.ShapeDtypeStruct((Bc, 2), jnp.float32),
+                ),
+                in_specs=[img_spec(), pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=(img_spec(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+                interpret=interpret,
+            )(gc, scal)
+
+        f, meta = chunked_chain_call(run_fresh, (g,))
+        iters = meta[:, 0].astype(jnp.int32)
+        err = meta[:, 1].astype(g.dtype)
+        zero = jnp.zeros_like(f)
+        if squeeze:
+            f, iters, err, zero = f[0], iters[0], err[0], zero[0]
+        return f, ChambolleState(px=zero, py=zero, iters=iters, err=err)
+
     if duals is None:
         px0 = jnp.zeros_like(g)
         py0 = jnp.zeros_like(g)
@@ -109,34 +235,34 @@ def chambolle_prox_pallas(
         px0, py0 = duals
         if squeeze:
             px0, py0 = px0[None], py0[None]
-    scal = jnp.stack(
-        [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype), jnp.asarray(tol, g.dtype)]
-    )
 
-    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    f, px, py, meta = pl.pallas_call(
-        partial(_kernel, max_iter=max_iter),
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct(g.shape, g.dtype),
-            jax.ShapeDtypeStruct(g.shape, g.dtype),
-            jax.ShapeDtypeStruct(g.shape, g.dtype),
-            jax.ShapeDtypeStruct((B, 2), jnp.float32),
-        ),
-        in_specs=[
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            img_spec(),
-            img_spec(),
-        ],
-        out_specs=(
-            img_spec(),
-            img_spec(),
-            img_spec(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
-    )(g, scal, px0, py0)
+    def run(gc, pxc, pyc):
+        Bc = gc.shape[0]
+        return pl.pallas_call(
+            partial(_kernel, max_iter=max_iter),
+            grid=(Bc,),
+            out_shape=(
+                jax.ShapeDtypeStruct(gc.shape, gc.dtype),
+                jax.ShapeDtypeStruct(gc.shape, gc.dtype),
+                jax.ShapeDtypeStruct(gc.shape, gc.dtype),
+                jax.ShapeDtypeStruct((Bc, 2), jnp.float32),
+            ),
+            in_specs=[
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                img_spec(),
+                img_spec(),
+            ],
+            out_specs=(
+                img_spec(),
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )(gc, scal, pxc, pyc)
+
+    f, px, py, meta = chunked_chain_call(run, (g, px0, py0))
 
     iters = meta[:, 0].astype(jnp.int32)
     err = meta[:, 1].astype(g.dtype)

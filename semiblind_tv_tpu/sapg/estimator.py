@@ -166,10 +166,13 @@ def make_general_sapg_step(
     def resolve_use_fused(B: int) -> bool:
         # auto: the fused Mosaic kernel wins at every chain count on TPU
         # (+9% at 1 chain, +33% at 16 — RESULTS.md); CPU (tests, dryruns)
-        # takes the pure-XLA path.  At 512² the kernel's scoped-VMEM
-        # footprint is within 0.7 MB of the 16 MB limit and B ≥ 32 tips it
-        # over (compile OOM, RESULTS.md r2) — auto falls back to the XLA
-        # path there; explicit use_fused_step overrides.
+        # takes the pure-XLA path.  Any B now compiles — the kernel wrappers
+        # chunk batches into sequential ≤24-chain grids (tv_pallas.
+        # chunked_chain_call; B ≥ 32 used to compile-OOM / crash the remote
+        # compiler, RESULTS.md r2/r3) — but at 512² the measured plateau is
+        # flat 16→64 and the Pallas-prox fallback path times equal-or-better
+        # at B ≥ 32, so auto keeps the r2 threshold; explicit use_fused_step
+        # overrides.
         uf = use_fused_cfg
         if uf is None:
             # >512² can never fit the kernel's ~7 VMEM-resident fields
@@ -248,15 +251,22 @@ def make_general_sapg_step(
             and max(blur.shape) <= 512
         )
         if use_p:
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_pallas
+
             # the Pallas kernel batches chains natively (grid of B programs);
-            # vmapping the pallas_call instead picks losing block shapes
-            return chambolle_prox(
+            # vmapping the pallas_call instead picks losing block shapes.
+            # return_state=False: the SAPG prox always starts from fresh
+            # duals and discards them, so the lean kernel (f the only
+            # image-sized output, 2 I/O blocks instead of 6) is the form
+            # whose scoped-VMEM footprint fits at ANY chain count at 512²
+            # (the fat kernel OOMs Mosaic's 16 MB budget from B ≥ 32).
+            return chambolle_prox_pallas(
                 X,
                 lam_theta,
                 sapg.chambolle_iters,
                 tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol,
-                use_pallas=True,
+                return_state=False,
             )
         return jax.vmap(
             lambda g: chambolle_prox(

@@ -95,6 +95,95 @@ def test_fused_step_interpret_matches_unfused():
         np.testing.assert_allclose(float(tvb[i]), float(tv_norm(xr)), rtol=1e-10)
 
 
+def test_chunked_chain_call_balances_and_discards_padding():
+    from semiblind_tv_tpu.ops.tv_pallas import chunked_chain_call
+
+    calls = []
+
+    def run(a, b):
+        calls.append(a.shape[0])
+        return (a + b, jnp.sum(a, axis=(1, 2)))
+
+    a = jnp.arange(25.0 * 4 * 4).reshape(25, 4, 4)
+    b = jnp.ones_like(a)
+    s, t = chunked_chain_call(run, (a, b), max_grid=24)
+    # B=25 > 24: balanced as 2 chunks of 13 with 1 padded chain dropped
+    assert calls == [13]  # traced once by lax.map
+    np.testing.assert_allclose(np.asarray(s), np.asarray(a + b))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(jnp.sum(a, axis=(1, 2))))
+    # B <= max_grid passes straight through (single direct call)
+    calls.clear()
+    s2, _ = chunked_chain_call(run, (a[:24], b[:24]), max_grid=24)
+    assert calls == [24] and s2.shape[0] == 24
+
+
+def test_chambolle_interpret_chunked_matches_per_chain():
+    """B > MAX_GRID_CHAINS runs as sequential sub-grids (the ≥48-chain
+    remote-compiler-crash fix) — outputs must match the per-chain XLA op."""
+    B = 25  # chunks to 2×13 with one padded chain discarded
+    xs = jnp.stack([
+        jax.random.normal(jax.random.key(i), (16, 16)) * (1.0 + i / 5.0)
+        for i in range(B)
+    ])
+    fb, stb = chambolle_prox_pallas(xs, 0.5, 10, interpret=True)
+    assert fb.shape == (B, 16, 16) and stb.iters.shape == (B,)
+    for i in (0, 12, 13, 24):
+        fi, sti = chambolle_prox(xs[i], 0.5, 10)
+        np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), rtol=1e-12, atol=1e-12)
+        assert int(stb.iters[i]) == int(sti.iters)
+
+
+def test_chambolle_interpret_lean_fresh_duals():
+    """return_state=False (the SAPG fallback form: duals never enter or
+    leave the kernel) must produce the same f/iteration counts as the fat
+    kernel and the XLA op, including when chain-chunked."""
+    import pytest
+
+    B = 25
+    xs = jnp.stack([
+        jax.random.normal(jax.random.key(100 + i), (16, 16)) * (1.0 + i / 7.0)
+        for i in range(B)
+    ])
+    f_lean, st_lean = chambolle_prox_pallas(
+        xs, 0.5, 10, interpret=True, return_state=False
+    )
+    assert st_lean.iters.shape == (B,)
+    np.testing.assert_allclose(np.asarray(st_lean.px), 0.0)
+    for i in (0, 12, 24):
+        fi, sti = chambolle_prox(xs[i], 0.5, 10)
+        np.testing.assert_allclose(np.asarray(f_lean[i]), np.asarray(fi), rtol=1e-12, atol=1e-12)
+        assert int(st_lean.iters[i]) == int(sti.iters)
+    # single image + early exit
+    g2 = jnp.ones((16, 16), jnp.float64)
+    f2, st2 = chambolle_prox_pallas(g2, 0.5, 25, interpret=True, return_state=False)
+    f2_ref, st2_ref = chambolle_prox(g2, 0.5, 25)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_ref), atol=1e-12)
+    assert int(st2.iters) == int(st2_ref.iters) < 25
+    with pytest.raises(ValueError):
+        chambolle_prox_pallas(
+            g2, 0.5, 10, duals=(g2, g2), interpret=True, return_state=False
+        )
+
+
+def test_fused_step_interpret_chunked_matches_unfused():
+    B = 25
+    ks = jax.random.split(jax.random.key(11), 4)
+    x = jax.random.uniform(ks[0], (B, 16, 16)) * 255
+    prox_c = x + jax.random.normal(ks[1], x.shape) * 0.1
+    gradf = jax.random.normal(ks[2], x.shape) * 0.01
+    z = jax.random.normal(ks[3], x.shape)
+    g, l, lt = 1.9, 2.0, 0.02
+
+    xb, pb, tvb = myula_prox_tv(x, prox_c, gradf, z, g, l, lt, 10, interpret=True)
+    assert tvb.shape == (B,)
+    for i in (0, 13, 24):
+        xr = myula_kernel_step(x[i], prox_c[i], gradf[i], g, l, z[i], True)
+        pr, _ = chambolle_prox(xr, lt, 10)
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xr), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(pr), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(float(tvb[i]), float(tv_norm(xr)), rtol=1e-10)
+
+
 def test_tiled_chambolle_interpret_matches_xla():
     """Row-tiled prox (duals in VMEM scratch, image streamed in row blocks)
     vs the whole-image op: identical f, iteration counts, and early exit."""
