@@ -432,6 +432,81 @@ def np_sapg_dynamics_run(
 
 
 # ---------------------------------------------------------------------------
+# Generic C-SALSA (CSALSA_v2.m:462-545): min phi(P^T x) s.t. ||Ax-y|| <= eps
+# with caller Psi/Phi, P/PT analysis pair, TV-initialization mode, the four
+# stopping criteria, and mu-continuation — a direct NumPy port of the loop.
+# ---------------------------------------------------------------------------
+
+def np_csalsa_generic(y, A, AT, invLS, mu1, mu2, eps, *, psi=None, phi=None,
+                      P=None, PT=None, tv_init=False, tv_iters=5, delta=1.0,
+                      max_iter=200, tol=1e-3, stop_criterion=3, x0=None):
+    if P is None:
+        P = lambda x: x
+        PT = lambda x: x
+    if psi is None:
+        psi = lambda v, tau: np.sign(v) * np.maximum(np.abs(v) - tau, 0.0)
+    if phi is None:
+        phi = np_tv if tv_init else (lambda x: np.sum(np.abs(x)))
+
+    aty = AT(y)
+    x = np.zeros_like(aty) if x0 is None else np.array(x0, dtype=aty.dtype)
+    u = np.zeros_like(PT(x))
+    bu = np.zeros_like(u)
+    v = np.zeros_like(y)
+    bv = np.zeros_like(y)
+    pux = np.zeros_like(u)
+    puy = np.zeros_like(u)
+    prev_obj = phi(x)
+    prev_crit = np.linalg.norm(A(x) - y)
+    objs, crits, d1s, d2s = [], [], [], []
+    n = 0
+    for k in range(max_iter):
+        xprev = x
+        r = mu1 * P(u + bu) + mu2 * AT(y + v + bv)
+        x = invLS(r, mu1, mu2)
+        ptx = PT(x)
+        if tv_init:
+            u, pux, puy, _, _ = np_chambolle(
+                np.real(ptx - bu), 1.0 / mu1, tv_iters, duals=(pux, puy)
+            )
+        else:
+            u = psi(ptx - bu, 1.0 / mu1)
+        Ax = A(x)
+        ve = Ax - y - bv
+        n_ve = np.linalg.norm(ve)
+        v = ve if n_ve <= eps else ve / n_ve * eps
+        bv = bv - (Ax - y - v)
+        bu = bu - (ptx - u)
+        crit = np.linalg.norm(Ax - y)
+        # objective evaluated at x, NOT P^T x (CSALSA_v2.m:499 quirk)
+        obj = phi(x)
+        objs.append(obj)
+        crits.append(crit)
+        d1s.append(np.linalg.norm(Ax - y - v))
+        d2s.append(np.linalg.norm(ptx - u))
+        mu1 *= delta
+        mu2 *= delta
+        n += 1
+        # stop checked from the first pass (outer = 2 compares against the
+        # stored initial objective/criterion, CSALSA_v2.m:520-545)
+        if stop_criterion == 1:
+            sc_ok = abs(obj - prev_obj) / obj < tol
+        elif stop_criterion == 2:
+            sc_ok = np.linalg.norm(x - xprev) / np.linalg.norm(x) < tol
+        elif stop_criterion == 3:
+            sc_ok = abs(crit - prev_crit) / crit < tol
+        else:
+            sc_ok = k + 2 >= tol
+        prev_obj, prev_crit = obj, crit
+        if sc_ok and crit <= eps:
+            break
+    return dict(
+        x=x, objective=np.array(objs), criterion=np.array(crits),
+        distance1=np.array(d1s), distance2=np.array(d2s), n_iters=n,
+    )
+
+
+# ---------------------------------------------------------------------------
 # SALSA (SALSA_v2.m:423-440 with TV initialization, x0 = 0)
 # ---------------------------------------------------------------------------
 

@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semiblind_tv_tpu.ops import fourier, psf
-from semiblind_tv_tpu.solvers.csalsa import csalsa_tv
+from semiblind_tv_tpu.solvers.csalsa import csalsa, csalsa_synthesis, csalsa_tv
 from tests import oracles
 
 SHAPE = (32, 32)
@@ -87,3 +87,122 @@ def test_csalsa_default_epsilon_requires_sigma(rng):
 
     with pytest.raises(ValueError):
         csalsa_tv(jnp.asarray(y), H, 0.05, 1.0, blur)
+
+
+# ---------------------------------------------------------------------------
+# Generic surface (CSALSA_v2.m:88-137 options) vs oracles.np_csalsa_generic
+# ---------------------------------------------------------------------------
+
+def _generic_ops(blur, H, H_full):
+    """Matched (jnp, np) operator triples for the FFT-diagonal blur."""
+    Hj = jnp.asarray(np.asarray(H))
+    A = lambda v: blur.irfft(Hj * blur.rfft(v))
+    AT = lambda v: blur.irfft(jnp.conj(Hj) * blur.rfft(v))
+    absH2 = jnp.abs(Hj) ** 2
+    invLS = lambda r, m1, m2: blur.irfft(blur.rfft(r) / (m2 * absH2 + m1))
+
+    nA = lambda v: oracles.np_blur(v, H_full)
+    nAT = lambda v: oracles.np_blur_adj(v, H_full)
+    nabsH2 = np.abs(H_full) ** 2
+    nLS = lambda r, m1, m2: np.real(
+        np.fft.ifft2(np.fft.fft2(r) / (m2 * nabsH2 + m1))
+    )
+    return (A, AT, invLS), (nA, nAT, nLS)
+
+
+def test_csalsa_generic_default_soft_matches_oracle(rng):
+    blur, H, H_full, x, y, sigma = _make(rng)
+    (A, AT, invLS), (nA, nAT, nLS) = _generic_ops(blur, H, H_full)
+    eps = float(np.sqrt(y.size + 8 * np.sqrt(y.size)) * sigma)
+    res = csalsa(jnp.asarray(y), A, AT, invLS, 0.05, 1.0,
+                 epsilon=eps, max_iter=25, tol=1e-4, delta=1.05)
+    orc = oracles.np_csalsa_generic(y, nA, nAT, nLS, 0.05, 1.0, eps,
+                                    max_iter=25, tol=1e-4, delta=1.05)
+    assert res.n_iters == orc["n_iters"]
+    n = res.n_iters
+    np.testing.assert_allclose(res.x, orc["x"], rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res.objective[:n], orc["objective"][:n], rtol=1e-8)
+    np.testing.assert_allclose(res.criterion[:n], orc["criterion"][:n], rtol=1e-8)
+    np.testing.assert_allclose(res.distance1[:n], orc["distance1"][:n], rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res.distance2[:n], orc["distance2"][:n], rtol=1e-7, atol=1e-9)
+
+
+def test_csalsa_generic_custom_psi_phi_matches_oracle(rng):
+    """Caller Psi/Phi pair ('Psi'/'Phi' options): quadratic regularizer with
+    prox v/(1+tau)."""
+    blur, H, H_full, x, y, sigma = _make(rng)
+    (A, AT, invLS), (nA, nAT, nLS) = _generic_ops(blur, H, H_full)
+    eps = float(np.sqrt(y.size + 8 * np.sqrt(y.size)) * sigma)
+    res = csalsa(jnp.asarray(y), A, AT, invLS, 0.05, 1.0, epsilon=eps,
+                 prox=lambda v, tau: v / (1.0 + tau),
+                 phi=lambda v: 0.5 * jnp.sum(v * v),
+                 max_iter=20, tol=1e-12, stop_criterion=2)
+    orc = oracles.np_csalsa_generic(
+        y, nA, nAT, nLS, 0.05, 1.0, eps,
+        psi=lambda v, tau: v / (1.0 + tau), phi=lambda v: 0.5 * np.sum(v * v),
+        max_iter=20, tol=1e-12, stop_criterion=2)
+    np.testing.assert_allclose(res.x, orc["x"], rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res.objective[:20], orc["objective"], rtol=1e-8)
+
+
+def test_csalsa_generic_analysis_pair_matches_oracle(rng):
+    """P/PT analysis option: an exactly orthogonal P (PPᵀ = I) on the
+    flattened image, soft-threshold prox in the transform domain."""
+    blur, H, H_full, x, y, sigma = _make(rng)
+    (A, AT, invLS), (nA, nAT, nLS) = _generic_ops(blur, H, H_full)
+    eps = float(np.sqrt(y.size + 8 * np.sqrt(y.size)) * sigma)
+    Q, _ = np.linalg.qr(rng.standard_normal((y.size, y.size)))
+    Pj = lambda c: (jnp.asarray(Q) @ c.ravel()).reshape(y.shape)
+    PTj = lambda v: jnp.asarray(Q).T @ v.ravel()
+    Pn = lambda c: (Q @ np.ravel(c)).reshape(y.shape)
+    PTn = lambda v: Q.T @ np.ravel(v)
+    res = csalsa(jnp.asarray(y), A, AT, invLS, 0.05, 1.0, epsilon=eps,
+                 P=Pj, PT=PTj, max_iter=15, tol=1e-12)
+    orc = oracles.np_csalsa_generic(y, nA, nAT, nLS, 0.05, 1.0, eps,
+                                    P=Pn, PT=PTn, max_iter=15, tol=1e-12)
+    np.testing.assert_allclose(res.x, orc["x"], rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(res.distance2[:15], orc["distance2"], rtol=1e-6, atol=1e-9)
+
+
+def test_csalsa_generic_tv_init_matches_tv_specialisation(rng):
+    """'TVINITIALIZATION' mode of the generic loop ≡ the fused csalsa_tv."""
+    blur, H, H_full, x, y, sigma = _make(rng)
+    (A, AT, invLS), _ = _generic_ops(blur, H, H_full)
+    eps = float(np.sqrt(y.size + 8 * np.sqrt(y.size)) * sigma)
+    res_g = csalsa(jnp.asarray(y), A, AT, invLS, 0.05, 1.0, epsilon=eps,
+                   tv_init=True, tv_iters=10, max_iter=20, tol=1e-14)
+    res_tv = csalsa_tv(jnp.asarray(y), H, mu1=0.05, mu2=1.0, blur=blur,
+                       epsilon=eps, max_iter=20, tol=1e-14, tv_iters=10)
+    np.testing.assert_allclose(res_g.x, res_tv.x, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(res_g.objective, res_tv.objective, rtol=1e-9)
+
+
+def test_csalsa_synthesis_frame(rng):
+    """csalsa.m synthesis-frame path: Woodbury LS identity + constrained
+    recovery through a Parseval TI Haar frame."""
+    from semiblind_tv_tpu.ops.wavelet import ti_analysis, ti_synthesis
+
+    blur, H, H_full, x, y, sigma = _make(rng)
+    levels = 1
+    W = lambda s: ti_synthesis(s, levels)
+    WT = lambda v: ti_analysis(v, levels)
+    Hj = jnp.asarray(np.asarray(H))
+
+    # Woodbury identity: (mu1 I + mu2 W^T A^T A W) @ invLS(r) == r
+    mu1, mu2 = 0.3, 1.0
+    absH2 = np.abs(np.asarray(H)) ** 2
+    filt = absH2 / (absH2 + mu1 / mu2)
+    s = jnp.asarray(WT(jnp.asarray(rng.standard_normal(SHAPE))))
+    invLS = lambda r: (r - WT(blur.irfft(jnp.asarray(filt) * blur.rfft(W(r))))) / mu1
+    z = invLS(s)
+    AW = lambda c: blur.irfft(Hj * blur.rfft(W(c)))
+    WTAT = lambda v: WT(blur.irfft(jnp.conj(Hj) * blur.rfft(v)))
+    lhs = mu1 * z + mu2 * WTAT(AW(z))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(s), rtol=1e-9, atol=1e-9)
+
+    eps = float(np.sqrt(y.size + 8 * np.sqrt(y.size)) * sigma)
+    res = csalsa_synthesis(jnp.asarray(y), H, blur, W, WT, mu1, mu2,
+                           epsilon=eps, max_iter=120, tol=1e-4)
+    img = np.asarray(W(jnp.asarray(res.x)))
+    assert res.criterion[res.n_iters - 1] <= eps * 1.05
+    assert np.mean((img - x) ** 2) < np.mean((y - x) ** 2)
