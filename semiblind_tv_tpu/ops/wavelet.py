@@ -46,15 +46,17 @@ __all__ = [
 def daubcqf(N: int, phase: str = "min"):
     """Daubechies length-N orthonormal CQF pair (h0 scaling, h1 wavelet).
 
-    Capability parity with `SALSA/daubcqf.m:1-106` ('min'/'max' phases; the
-    rarely-used 'mid' selection is not built), via the standard spectral
-    factorization (Daubechies, CPAM 1988) — NOT a port of the MATLAB root
-    bookkeeping:
+    Capability parity with `SALSA/daubcqf.m:1-106` ('min'/'max'/'mid'
+    phases), via the standard spectral factorization (Daubechies, CPAM
+    1988) — NOT a port of the MATLAB root bookkeeping:
 
       h0(z) ∝ ((1+z)/2)^K · Q(z),  K = N/2, where Q collects, for each root
-      y_j of the binomial polynomial P(y) = Σ_{k<K} C(K−1+k, k) y^k, the
-      z-root of z² − (2−4y_j)z + 1 = 0 inside the unit circle (minimum
-      phase).  Normalized to Σ h0 = √2 (so ‖h0‖₂ = 1);
+      y_j of the binomial polynomial P(y) = Σ_{k<K} C(K−1+k, k) y^k, one
+      z-root of z² − (2−4y_j)z + 1 = 0 per reciprocal pair: the one inside
+      the unit circle (minimum phase) by default.  'mid' applies the
+      reference's mixed in/out selection over the magnitude-sorted root
+      list (daubcqf.m:92-98) for near-linear phase; 'max' reverses the
+      min-phase filter.  Normalized to Σ h0 = √2 (so ‖h0‖₂ = 1);
       h1[k] = (−1)^k h0[N−1−k] (the reference's rot90 + odd-index negation,
       daubcqf.m:103-104).
 
@@ -63,18 +65,36 @@ def daubcqf(N: int, phase: str = "min"):
     """
     if N % 2 != 0 or N < 2:
         raise ValueError("Daubechies filters require even N >= 2")
-    if phase not in ("min", "max"):
-        raise ValueError(f"phase must be 'min' or 'max', got {phase!r}")
+    if phase not in ("min", "max", "mid"):
+        raise ValueError(f"phase must be 'min', 'max' or 'mid', got {phase!r}")
     K = N // 2
     # binomial half-band polynomial P(y), ascending coefficients
     P = np.array([comb(K - 1 + k, k) for k in range(K)], dtype=np.float64)
     zroots = []
     if K > 1:
+        pairs = []
         for y in np.roots(P[::-1]):
             b = 2.0 - 4.0 * y
             disc = np.sqrt(b * b - 4.0 + 0j)
-            z1, z2 = (b + disc) / 2.0, (b - disc) / 2.0
-            zroots.append(z1 if abs(z1) <= 1.0 else z2)
+            pairs.extend([(b + disc) / 2.0, (b - disc) / 2.0])
+        if phase == "mid" and K > 2:
+            # MATLAB: q = sort(roots(q)); qt = q(<mixed index set>)
+            # (daubcqf.m:91-98).  MATLAB sorts complex by |z| then angle.
+            q = sorted(pairs, key=lambda z: (abs(z), np.angle(z)))
+            if K % 2 == 1:
+                idx = list(range(0, N - 2, 4)) + list(range(1, N - 2, 4))
+            else:
+                idx = (
+                    [0]
+                    + list(range(3, K - 1, 4))
+                    + list(range(4, K - 1, 4))
+                    + list(range(N - 4, K - 2, -4))
+                    + list(range(N - 5, K - 2, -4))
+                )
+            zroots = [q[i] for i in idx]
+        else:
+            # one in-circle root per reciprocal pair (minimum phase)
+            zroots = [z for z in pairs if abs(z) <= 1.0]
     # binomial part (1+z)^K: K+1 taps; Q part K-1 roots: K taps -> N = 2K taps
     h0 = np.array([1.0])
     for _ in range(K):

@@ -58,6 +58,40 @@ def test_daubcqf_reference_values():
         daubcqf(5)
 
 
+def test_daubcqf_mid_phase():
+    """'mid' phase (daubcqf.m:92-98): a valid orthonormal CQF with the SAME
+    magnitude response as min phase but a (near-)linear-phase root
+    selection; equals min for N ≤ 6 (the index algebra picks the in-circle
+    roots there) and differs from N = 8 up."""
+    from semiblind_tv_tpu.ops.wavelet import daubcqf
+
+    def phase_nonlinearity(h):
+        w = np.linspace(0.01, np.pi * 0.9, 256)
+        H = np.array([np.sum(h * np.exp(-1j * wi * np.arange(len(h)))) for wi in w])
+        ph = np.unwrap(np.angle(H))
+        A = np.vstack([w, np.ones_like(w)]).T
+        res = ph - A @ np.linalg.lstsq(A, ph, rcond=None)[0]
+        return np.abs(res).max()
+
+    np.testing.assert_allclose(daubcqf(4, "mid")[0], daubcqf(4, "min")[0], rtol=1e-12)
+    np.testing.assert_allclose(daubcqf(6, "mid")[0], daubcqf(6, "min")[0], rtol=1e-12)
+    for N in (8, 10, 16):
+        h0m, _ = daubcqf(N, "min")
+        h0d, h1d = daubcqf(N, "mid")
+        assert not np.allclose(h0d, h0m)
+        assert h0d.sum() == pytest.approx(np.sqrt(2.0), rel=1e-10)
+        assert (h0d**2).sum() == pytest.approx(1.0, rel=1e-8)
+        for m in range(1, N // 2):
+            assert np.dot(h0d[: -2 * m], h0d[2 * m :]) == pytest.approx(0.0, abs=1e-8)
+        # same autocorrelation = same |H(w)|; strictly more linear phase
+        np.testing.assert_allclose(
+            np.convolve(h0d, h0d[::-1]), np.convolve(h0m, h0m[::-1]), atol=1e-8
+        )
+        assert phase_nonlinearity(h0d) < 0.5 * phase_nonlinearity(h0m)
+    with pytest.raises(ValueError):
+        daubcqf(8, "median")
+
+
 @pytest.mark.parametrize("order", [2, 4, 8])
 def test_daubcqf_orthonormal_cqf(order):
     """Σh0 = √2, ‖h0‖ = 1, even-shift orthonormality, h1 ⊥ h0 shifts."""
