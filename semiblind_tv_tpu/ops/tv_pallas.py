@@ -285,20 +285,23 @@ def _col_div(p):
 def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
                   px_s, py_s, stash, smem,
                   *, n_sweeps: int, tile_rows: int, n_tiles: int):
-    """Grid (n_sweeps + 2, T), T fastest.  Phase s=0 loads the zero duals
-    into the scratch fields; phases 1..n_sweeps are Jacobi dual-ascent
-    sweeps (tile t reads its own and tile t+1's rows at sweep s−1 from
-    scratch, and tile t−1's pre-update last row from the one-row stash);
-    the final phase assembles f from the converged duals.  px/py live in
-    VMEM scratch for the WHOLE solve — per sweep the only HBM traffic is
-    the streamed g blocks (the whole-image kernel needs ~8 resident fields
-    and caps at 512²; this one needs 2 fields + one tile's working set).
+    """Grid (B, n_sweeps + 2, T), T fastest, chains outermost.  Per chain:
+    phase s=0 loads the zero duals into the scratch fields; phases
+    1..n_sweeps are Jacobi dual-ascent sweeps (tile t reads its own and
+    tile t+1's rows at sweep s−1 from scratch, and tile t−1's pre-update
+    last row from the one-row stash); the final phase assembles f from the
+    converged duals.  px/py live in VMEM scratch for the WHOLE solve and
+    are re-zeroed per chain (chains run sequentially, so one (M, N) dual
+    pair serves any B) — per sweep the only HBM traffic is the streamed g
+    blocks (the whole-image kernel needs ~8 resident fields and caps at
+    512²; this one needs 2 fields + one tile's working set).
     """
-    s = pl.program_id(0)
-    t = pl.program_id(1)
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t = pl.program_id(2)
     R = tile_rows
     lam, tau, tol = scal_ref[0], scal_ref[1], scal_ref[2]
-    g = g_ref[...]
+    g = g_ref[0]
     N = g.shape[1]
     dtype = g.dtype
     zrow = jnp.zeros((1, N), dtype)
@@ -316,7 +319,7 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
     def _load():
         px_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
         py_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
-        f_ref[...] = g  # placeholder; overwritten by the final phase
+        f_ref[0] = g  # placeholder; overwritten by the final phase
 
     @pl.when(jnp.logical_and(s >= 1, s <= n_sweeps))
     def _sweep():
@@ -335,7 +338,7 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
         nxt = jnp.minimum((t + 1) * R, (n_tiles - 1) * R)
         px_n0 = px_s[pl.ds(nxt, 1)]
         py_n0 = py_s[pl.ds(nxt, 1)]
-        u_b = (px_n0 - px_t[-1:, :]) + _col_div(py_n0) - gnext_ref[0:1, :] / lam
+        u_b = (px_n0 - px_t[-1:, :]) + _col_div(py_n0) - gnext_ref[0, 0:1, :] / lam
 
         upx = jnp.concatenate([u[1:, :], u_b], axis=0) - u
         upx_last = jnp.where(is_last, jnp.zeros((1, N), dtype), upx[-1:, :])
@@ -364,7 +367,7 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
         stash[...] = px_t[-1:, :]
         px_s[pl.ds(t * R, R)] = new_px
         py_s[pl.ds(t * R, R)] = new_py
-        f_ref[...] = new_px  # keep the revisited output block defined
+        f_ref[0] = new_px  # keep the revisited output block defined
 
         @pl.when(is_last)
         def _finalise_sweep():
@@ -385,12 +388,12 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
         u = px_t - jnp.concatenate([above, px_t[:-1, :]], axis=0)
         last_u = jnp.where(is_last, -px_t[-1:, :], u[-1:, :])
         u = jnp.concatenate([u[:-1, :], last_u], axis=0)
-        f_ref[...] = g - lam * (u + _col_div(py_t))
+        f_ref[0] = g - lam * (u + _col_div(py_t))
 
         @pl.when(is_last)
         def _meta():
-            meta_ref[0] = smem[1]
-            meta_ref[1] = smem[2]
+            meta_ref[b, 0] = smem[1]
+            meta_ref[b, 1] = smem[2]
 
 
 @partial(jax.jit, static_argnames=("max_iter", "tile_rows", "interpret"))
@@ -407,8 +410,15 @@ def chambolle_prox_tiled(
     (>512²): duals stay VMEM-scratch-resident across all sweeps while the
     image streams through in row tiles.  Same math/early exit as
     ops.tv.chambolle_prox (fresh duals; the tiled variant does not take or
-    return warm-start duals — its SAPG use discards them)."""
-    M, N = g.shape
+    return warm-start duals — its SAPG use discards them).
+
+    Accepts (M, N) or a (B, M, N) chain batch: chains run sequentially in
+    the outermost grid dimension, re-using the single (M, N) scratch dual
+    pair (B whole-image dual fields would not fit VMEM at these sizes)."""
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[None]
+    B, M, N = g.shape
     assert M % tile_rows == 0, (M, tile_rows)
     T = M // tile_rows
     scal = jnp.stack(
@@ -416,18 +426,21 @@ def chambolle_prox_tiled(
     )
     f, meta = pl.pallas_call(
         partial(_tiled_kernel, n_sweeps=max_iter, tile_rows=tile_rows, n_tiles=T),
-        grid=(max_iter + 2, T),
+        grid=(B, max_iter + 2, T),
         out_shape=(
-            jax.ShapeDtypeStruct((M, N), g.dtype),
-            jax.ShapeDtypeStruct((2,), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, N), g.dtype),
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((tile_rows, N), lambda s, t: (t, 0), memory_space=pltpu.VMEM),
-            # (8, N) halo block (Mosaic sublane minimum); only row 0 is used.
-            # Block index units: rows/8.
             pl.BlockSpec(
-                (8, N),
-                lambda s, t: (
+                (1, tile_rows, N), lambda b, s, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+            # (1, 8, N) halo block (Mosaic sublane minimum); only row 0 is
+            # used.  Block index units: rows/8.
+            pl.BlockSpec(
+                (1, 8, N),
+                lambda b, s, t: (
+                    b,
                     jnp.minimum((t + 1) * (tile_rows // 8), (T - 1) * (tile_rows // 8)),
                     0,
                 ),
@@ -436,7 +449,9 @@ def chambolle_prox_tiled(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_rows, N), lambda s, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_rows, N), lambda b, s, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -447,8 +462,9 @@ def chambolle_prox_tiled(
         ],
         interpret=interpret,
     )(g, g, scal)
-    iters = meta[0].astype(jnp.int32)
-    err = meta[1].astype(g.dtype)
-    return f, ChambolleState(
-        px=jnp.zeros_like(g), py=jnp.zeros_like(g), iters=iters, err=err
-    )
+    iters = meta[:, 0].astype(jnp.int32)
+    err = meta[:, 1].astype(g.dtype)
+    zero = jnp.zeros_like(f)
+    if squeeze:
+        f, iters, err, zero = f[0], iters[0], err[0], zero[0]
+    return f, ChambolleState(px=zero, py=zero, iters=iters, err=err)

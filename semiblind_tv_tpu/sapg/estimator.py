@@ -219,24 +219,29 @@ def make_general_sapg_step(
 
     def prox_b(X, lam_theta):
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # >512² single chain: row-tiled kernel (duals in VMEM scratch, image
-        # streamed in row blocks) — bit-identical to the XLA path and ~17%
-        # faster amortized at 1024² (RESULTS.md r2)
+        # >512²: row-tiled kernel (duals in VMEM scratch, image streamed in
+        # row blocks) — bit-identical to the XLA path and ~17% faster
+        # amortized at 1024² (RESULTS.md r2); chains run sequentially in the
+        # kernel's outermost grid dim sharing one scratch dual pair, so any
+        # B works at any size (r3)
+        field_bytes = blur.shape[0] * blur.shape[1] * jnp.dtype(dtype).itemsize
         if (
             not sapg.use_pallas_prox
             and use_fused_cfg is None
             and on_tpu
             and max(blur.shape) > 512
-            and X.shape[0] == 1
             and blur.shape[0] % 128 == 0
+            # the two whole-image dual fields live in VMEM scratch — beyond
+            # ~1024² f32 (2 × 4 MB) they exceed the 16 MB budget and the
+            # step falls back to the XLA prox (functional, HBM-streamed)
+            and 2 * field_bytes <= 12 * 2**20
         ):
             from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
 
-            f, st = chambolle_prox_tiled(
-                X[0], lam_theta, sapg.chambolle_iters,
+            return chambolle_prox_tiled(
+                X, lam_theta, sapg.chambolle_iters,
                 tau=sapg.chambolle_tau, tol=sapg.chambolle_tol,
             )
-            return f[None], st
         # Pallas prox when asked for explicitly, OR as the TPU auto fallback
         # when the fused step kernel is gated off by chain count (B ≥ 32 at
         # 512²): the XLA vmapped prox goes HBM-bound there (1.4k vs 5.2k

@@ -200,7 +200,11 @@ def _salsa_l1_synthesis(y, yhat, H, blur, W, WT, tau, mu, max_iter, tol, L, dtyp
     d_img = y.size
     w = blur.weights
     filt = (np.conj(H) * H / (np.abs(H) ** 2 + mu)).astype(H.dtype)
-    ATy = WT(blur.irfft(np.conj(H) * jnp.asarray(yhat)))
+    # conj(H)·yhat stays host-side NumPy; the irfft runs under jit — eager
+    # complex ops (and eager device complex inputs) are unimplemented on
+    # some TPU runtimes (see BlurOperator.otf_host)
+    aty_hat = np.conj(H) * np.asarray(yhat)
+    ATy = jax.jit(lambda: WT(blur.irfft(jnp.asarray(aty_hat))))()
     thresh = tau / mu
 
     def invLS(r):
@@ -231,9 +235,13 @@ def _salsa_l1_synthesis(y, yhat, H, blur, W, WT, tau, mu, max_iter, tol, L, dtyp
         return (xw, u, bu, obj_out, done, n_done), None
 
     xw0 = jnp.zeros((y.shape[0], y.shape[1] * (3 * L + 1)), dtype)
-    obj0 = objective(xw0, xw0)
-    init = (xw0, xw0, xw0, obj0, jnp.array(False), jnp.zeros((), jnp.int32))
-    (xw, _, _, _, _, n_done) = jax.jit(
-        lambda i: jax.lax.scan(body, i, jnp.arange(max_iter))[0]
-    )(init)
+
+    def _solve(xw0):
+        # objective(xw0) inside jit too: its rfft builds complex eagerly
+        # otherwise, which some TPU runtimes cannot execute outside jit
+        init = (xw0, xw0, xw0, objective(xw0, xw0),
+                jnp.array(False), jnp.zeros((), jnp.int32))
+        return jax.lax.scan(body, init, jnp.arange(max_iter))[0]
+
+    (xw, _, _, _, _, n_done) = jax.jit(_solve)(xw0)
     return W(xw), int(n_done)

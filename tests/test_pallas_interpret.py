@@ -201,3 +201,23 @@ def test_tiled_chambolle_interpret_matches_xla():
     f_t, st_t = chambolle_prox_tiled(g2, 0.5, 25, tile_rows=16, interpret=True)
     assert int(st_t.iters) == int(st_ref.iters) < 25
     np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_ref), atol=1e-12)
+
+
+def test_tiled_chambolle_interpret_batched():
+    """(B, M, N) tiled prox: chains sequential in the outer grid dim, one
+    shared scratch dual pair re-zeroed per chain — per-chain results and
+    early-exit counts must match the whole-image op."""
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+    B = 3
+    gs = jnp.stack([
+        jax.random.uniform(jax.random.key(20 + i), (64, 48), jnp.float64)
+        * (50.0 * (i + 1))
+        for i in range(B)
+    ])
+    fb, stb = chambolle_prox_tiled(gs, 0.8, 25, tile_rows=16, interpret=True)
+    assert fb.shape == gs.shape and stb.iters.shape == (B,)
+    for i in range(B):
+        fi, sti = chambolle_prox(gs[i], 0.8, 25)
+        np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
+        assert int(stb.iters[i]) == int(sti.iters)
