@@ -11,8 +11,9 @@ As separate XLA ops each stage round-trips its fields through HBM; this
 kernel keeps X/Z/gradF/duals resident in VMEM for the whole segment
 (≈7 f32 fields at 512² ≈ 7 MB, within the ~16 MB/core budget) and emits
 (Xn, proxn, tv) in one launch.  Numerics are identical to the unfused path
-(ops/tv.py semantics: Neumann stencils, τ=0.249, masked early exit on the
-pre-update fixed-point residual; circular-difference TV norm).
+(ops/tv.py semantics: Neumann stencils, τ=0.249, early exit on the
+pre-update fixed-point residual via the shared tv_pallas.dual_ascent_loop;
+circular-difference TV norm).
 
 Chain batching is native: (B, M, N) inputs run as a grid of B programs
 (one chain per program) — do NOT vmap the pallas_call.  All scalars
@@ -28,9 +29,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from semiblind_tv_tpu.ops.tv_pallas import chunked_chain_call
+from semiblind_tv_tpu.ops.tv_pallas import (
+    chunked_chain_call, dual_ascent_loop, neumann_div,
+    tiled_divergence, tiled_sweep_phase,
+)
 
-__all__ = ["myula_prox_tv", "myula_prox_tv_dft", "myula_prox_tv_irdft"]
+__all__ = [
+    "myula_prox_tv", "myula_prox_tv_dft", "myula_prox_tv_irdft",
+    "myula_prox_tv_tiled",
+]
 
 
 def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
@@ -43,9 +50,6 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     tol = scal_ref[4]
 
     x = x_ref[0]
-    M, N = x.shape
-    zrow = jnp.zeros((1, N), x.dtype)
-    zcol = jnp.zeros((M, 1), x.dtype)
 
     # ---- MYULA update -----------------------------------------------------
     xn = (
@@ -59,31 +63,9 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     xn_ref[0] = xn
 
     # ---- Chambolle dual ascent (fresh duals, as the SAPG prox uses) -------
-    glam = xn / lam_theta
-
-    def div(p1, p2):
-        u = jnp.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
-        v = jnp.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
-        return u + v
-
-    def body(_, carry):
-        px, py, active = carry
-        u = div(px, py) - glam
-        upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
-        upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol], axis=1)
-        tmp = jnp.sqrt(upx * upx + upy * upy)
-        rx = -upx + tmp * px
-        ry = -upy + tmp * py
-        step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
-        denom = 1.0 + tau * tmp
-        px = jnp.where(active, (px + tau * upx) / denom, px)
-        py = jnp.where(active, (py + tau * upy) / denom, py)
-        active = jnp.logical_and(active, step_err > tol)
-        return px, py, active
-
     px0 = jnp.zeros_like(x)
-    px, py, _ = jax.lax.fori_loop(0, n_sweeps, body, (px0, px0, jnp.array(True)))
-    proxn_ref[0] = xn - lam_theta * div(px, py)
+    px, py, _, _ = dual_ascent_loop(xn / lam_theta, tau, tol, n_sweeps, px0, px0)
+    proxn_ref[0] = xn - lam_theta * neumann_div(px, py)
 
     # ---- circular-difference TV norm --------------------------------------
     # circular shift-by-1 as concatenates (portable across Mosaic and
@@ -111,8 +93,6 @@ def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
 
     x = x_ref[0]
     M, N = x.shape
-    zrow = jnp.zeros((1, N), x.dtype)
-    zcol = jnp.zeros((M, 1), x.dtype)
     def mm(a, b):
         return jnp.dot(a, b, precision=precision, preferred_element_type=x.dtype)
 
@@ -136,31 +116,9 @@ def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
     xn_ref[0] = xn
 
     # ---- Chambolle dual ascent (fresh duals, as the SAPG prox uses) -------
-    glam = xn / lam_theta
-
-    def div(p1, p2):
-        u = jnp.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
-        v = jnp.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
-        return u + v
-
-    def body(_, carry):
-        px, py, active = carry
-        u = div(px, py) - glam
-        upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
-        upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol], axis=1)
-        tmp = jnp.sqrt(upx * upx + upy * upy)
-        rx = -upx + tmp * px
-        ry = -upy + tmp * py
-        step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
-        denom = 1.0 + tau * tmp
-        px = jnp.where(active, (px + tau * upx) / denom, px)
-        py = jnp.where(active, (py + tau * upy) / denom, py)
-        active = jnp.logical_and(active, step_err > tol)
-        return px, py, active
-
     px0 = jnp.zeros_like(x)
-    px, py, _ = jax.lax.fori_loop(0, n_sweeps, body, (px0, px0, jnp.array(True)))
-    proxn_ref[0] = xn - lam_theta * div(px, py)
+    px, py, _, _ = dual_ascent_loop(xn / lam_theta, tau, tol, n_sweeps, px0, px0)
+    proxn_ref[0] = xn - lam_theta * neumann_div(px, py)
 
     # ---- circular-difference TV norm --------------------------------------
     dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
@@ -346,9 +304,7 @@ def _kernel_irdft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
     sigma2 = scal_ref[5]
 
     x = x_ref[0]
-    M, N = x.shape
-    zrow = jnp.zeros((1, N), x.dtype)
-    zcol = jnp.zeros((M, 1), x.dtype)
+    M = x.shape[0]
 
     def mm(a, b):
         return jnp.dot(a, b, precision=precision, preferred_element_type=x.dtype)
@@ -370,31 +326,9 @@ def _kernel_irdft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,
         xn = jnp.abs(xn)
     xn_ref[0] = xn
 
-    glam = xn / lam_theta
-
-    def div(p1, p2):
-        u = jnp.concatenate([p1[:1, :], p1[1:-1, :] - p1[:-2, :], -p1[-1:, :]], axis=0)
-        v = jnp.concatenate([p2[:, :1], p2[:, 1:-1] - p2[:, :-2], -p2[:, -1:]], axis=1)
-        return u + v
-
-    def body(_, carry):
-        px, py, active = carry
-        u = div(px, py) - glam
-        upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
-        upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol], axis=1)
-        tmp = jnp.sqrt(upx * upx + upy * upy)
-        rx = -upx + tmp * px
-        ry = -upy + tmp * py
-        step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
-        denom = 1.0 + tau * tmp
-        px = jnp.where(active, (px + tau * upx) / denom, px)
-        py = jnp.where(active, (py + tau * upy) / denom, py)
-        active = jnp.logical_and(active, step_err > tol)
-        return px, py, active
-
     px0 = jnp.zeros_like(x)
-    px, py, _ = jax.lax.fori_loop(0, n_sweeps, body, (px0, px0, jnp.array(True)))
-    proxn_ref[0] = xn - lam_theta * div(px, py)
+    px, py, _, _ = dual_ascent_loop(xn / lam_theta, tau, tol, n_sweeps, px0, px0)
+    proxn_ref[0] = xn - lam_theta * neumann_div(px, py)
 
     dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
     dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
@@ -468,3 +402,194 @@ def myula_prox_tv_irdft(
     if squeeze:
         xn, proxn, tv = xn[0], proxn[0], tv[0]
     return xn, proxn, tv
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled fused step for images too large for whole-image VMEM residency
+# ---------------------------------------------------------------------------
+
+def _tiled_fused_kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
+                        xn_ref, f_ref, tv_ref, meta_ref,
+                        xn_s, px_s, py_s, stash, smem, tvacc,
+                        *, n_sweeps: int, tile_rows: int, n_tiles: int,
+                        positivity: bool):
+    """Grid (B, n_sweeps + 2, T), T fastest, chains outermost.  Phase s=0
+    computes the MYULA update per tile (streaming x/prox/gradF/Z from HBM
+    once) into the whole-image xn scratch and zeroes the dual scratch;
+    phases 1..n_sweeps are Jacobi dual-ascent sweeps entirely out of VMEM
+    scratch (ZERO per-sweep HBM traffic — the prox-only tiled kernel streams
+    g every sweep); the final phase assembles proxn from the converged duals
+    and accumulates the circular-difference TV norm of xn.  Input/output
+    index maps are gated on s so tiles stream only in the phase that uses
+    them (equal consecutive block indices → Mosaic skips the copy)."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t = pl.program_id(2)
+    R = tile_rows
+    gamma = scal_ref[0]
+    lam = scal_ref[1]
+    lam_theta = scal_ref[2]
+    tau = scal_ref[3]
+    tol = scal_ref[4]
+    x = x_ref[0]
+    N = x.shape[1]
+    dtype = x.dtype
+    is_first = t == 0
+    is_last = t == n_tiles - 1
+    last_tile = (n_tiles - 1) * R
+
+    @pl.when(jnp.logical_and(s == 0, t == 0))
+    def _init_smem():
+        smem[0] = 0.0          # err accumulator
+        smem[1] = 0.0          # iteration count k
+        smem[2] = jnp.inf      # last fixed-point residual
+        smem[3] = 1.0          # active flag
+        tvacc[0] = jnp.zeros((), dtype)
+
+    @pl.when(s == 0)
+    def _myula():
+        xn = (
+            x
+            + gamma * (prox_ref[0] - x) / lam
+            - gamma * grad_ref[0]
+            + jnp.sqrt(2.0 * gamma) * z_ref[0]
+        )
+        if positivity:
+            xn = jnp.abs(xn)
+        xn_s[pl.ds(t * R, R)] = xn
+        xn_ref[0] = xn
+        px_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+        py_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+        f_ref[0] = xn  # placeholder; f's block is pinned until assembly
+
+    @pl.when(jnp.logical_and(s >= 1, s <= n_sweeps))
+    def _sweep():
+        glam = xn_s[pl.ds(t * R, R)] / lam_theta
+        nxt = jnp.minimum((t + 1) * R, last_tile)
+        tiled_sweep_phase(
+            px_s, py_s, stash, smem, glam, xn_s[pl.ds(nxt, 1)] / lam_theta, t,
+            tile_rows=R, n_tiles=n_tiles, tau=tau, tol=tol,
+        )
+        # keep the pinned revisited output blocks defined (interpret mode
+        # writes them back every step; Mosaic skips the copies)
+        xn_ref[0] = xn_s[pl.ds(last_tile, R)]
+        f_ref[0] = px_s[pl.ds(t * R, R)]
+
+    @pl.when(s == n_sweeps + 1)
+    def _assemble():
+        xn_t = xn_s[pl.ds(t * R, R)]
+        f_ref[0] = xn_t - lam_theta * tiled_divergence(
+            px_s, py_s, t, tile_rows=R, n_tiles=n_tiles
+        )
+        xn_ref[0] = xn_s[pl.ds(last_tile, R)]  # pinned placeholder
+
+        # circular-difference TV norm of xn: columns wrap within the tile,
+        # rows wrap globally (tile 0's row above is the image's last row)
+        prev = jnp.where(is_first, n_tiles * R - 1, t * R - 1)
+        above = xn_s[pl.ds(prev, 1)]
+        dh = xn_t - jnp.concatenate([xn_t[:, -1:], xn_t[:, :-1]], axis=1)
+        dv = xn_t - jnp.concatenate([above, xn_t[:-1, :]], axis=0)
+        part = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+        tvacc[0] = jnp.where(is_first, part, tvacc[0] + part)
+
+        @pl.when(is_last)
+        def _meta():
+            tv_ref[b] = tvacc[0]
+            meta_ref[b, 0] = smem[1]
+            meta_ref[b, 1] = smem[2]
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "tile_rows", "interpret"))
+def myula_prox_tv_tiled(
+    x: jnp.ndarray,
+    prox_cache: jnp.ndarray,
+    grad_f: jnp.ndarray,
+    z: jnp.ndarray,
+    gamma,
+    lam,
+    lam_theta,
+    n_sweeps: int = 25,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    positivity: bool = True,
+    tile_rows: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-tiled fused MYULA + Chambolle prox + TV norm for >512² images:
+    xn and both dual fields live in VMEM *scratch* for the whole step while
+    x/prox/gradF/Z stream through once in row tiles — the dual-ascent sweeps
+    touch HBM not at all (the prox-only tiled kernel re-streams g every
+    sweep and, pre-gating, wrote f back every sweep).  Semantics identical
+    to myula_prox_tv (ops/tv.py math: Neumann stencils, fresh duals, early
+    exit on the pre-update fixed-point residual; circular-difference TV).
+
+    3 whole-image scratch fields cap the size: 3·M·N·4 bytes must fit the
+    ~16 MB scoped-VMEM budget alongside the streamed tiles, so f32 1024² is
+    the design point (2048² falls back to the XLA path).  Accepts (M, N) or
+    (B, M, N); chains run sequentially in the outermost grid dim sharing the
+    scratch fields, so any B works."""
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        raise NotImplementedError(
+            "myula_prox_tv_tiled requires a TPU backend; use interpret=True on CPU"
+        )
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, prox_cache, grad_f, z = x[None], prox_cache[None], grad_f[None], z[None]
+    B, M, N = x.shape
+    assert M % tile_rows == 0, (M, tile_rows)
+    T = M // tile_rows
+    scal = jnp.stack(
+        [jnp.asarray(gamma, x.dtype), jnp.asarray(lam, x.dtype),
+         jnp.asarray(lam_theta, x.dtype), jnp.asarray(tau, x.dtype),
+         jnp.asarray(tol, x.dtype)]
+    )
+    # inputs stream tiles only during the MYULA phase (pinned to block 0
+    # afterwards); xn writes back only during the MYULA phase (pinned to the
+    # last tile afterwards — its final flush re-writes that tile, idempotent);
+    # f writes back only during the assemble phase (pinned to block 0 before)
+    in_spec = pl.BlockSpec(
+        (1, tile_rows, N),
+        lambda b, s, t: (b, jnp.where(s == 0, t, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    xn_spec = pl.BlockSpec(
+        (1, tile_rows, N),
+        lambda b, s, t: (b, jnp.where(s == 0, t, T - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    f_spec = pl.BlockSpec(
+        (1, tile_rows, N),
+        lambda b, s, t: (b, jnp.where(s == n_sweeps + 1, t, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    xn, f, tv, meta = pl.pallas_call(
+        partial(_tiled_fused_kernel, n_sweeps=n_sweeps, tile_rows=tile_rows,
+                n_tiles=T, positivity=bool(positivity)),
+        grid=(B, n_sweeps + 2, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, N), x.dtype),
+            jax.ShapeDtypeStruct((B, M, N), x.dtype),
+            jax.ShapeDtypeStruct((B,), x.dtype),
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),
+        ),
+        in_specs=[in_spec, in_spec, in_spec, in_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            xn_spec,
+            f_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((M, N), x.dtype),      # xn
+            pltpu.VMEM((M, N), x.dtype),      # px
+            pltpu.VMEM((M, N), x.dtype),      # py
+            pltpu.VMEM((1, N), x.dtype),      # previous tile's old last px row
+            pltpu.SMEM((4,), jnp.float32),    # err acc, k, err, active
+            pltpu.SMEM((1,), x.dtype),        # tv accumulator
+        ],
+        interpret=interpret,
+    )(x, prox_cache, grad_f, z, scal)
+    if squeeze:
+        xn, f, tv = xn[0], f[0], tv[0]
+    return xn, f, tv

@@ -181,6 +181,22 @@ def make_general_sapg_step(
             )
         return bool(uf)
 
+    def resolve_use_tiled_fused() -> bool:
+        # >512²: the row-tiled fused kernel (MYULA + prox + TV with xn and
+        # both dual fields in VMEM scratch — zero per-sweep HBM traffic,
+        # ops/fused_step_pallas.myula_prox_tv_tiled).  Its 3 whole-image
+        # scratch fields cap it at f32 1024²; beyond that the step falls
+        # back to the unfused path (tiled/XLA prox via prox_b).
+        if use_fused_cfg is False:
+            return False
+        field_bytes = blur.shape[0] * blur.shape[1] * jnp.dtype(dtype).itemsize
+        return (
+            jax.default_backend() in ("tpu", "axon")
+            and max(blur.shape) > 512
+            and blur.shape[0] % 32 == 0
+            and 3 * field_bytes <= 12 * 2**20
+        )
+
     def resolve_fuse_dft(B: int) -> bool:
         # Whole-iteration Mosaic kernel (irfft + MYULA + prox + TV + rfft in
         # one launch).  Measured (RESULTS.md r2): wins where the step is
@@ -328,6 +344,16 @@ def make_general_sapg_step(
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
             )
             Xhatn = blur.rfft(Xn)
+        elif resolve_use_tiled_fused():
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
+
+            gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
+            Xn, proxn, tv = myula_prox_tv_tiled(
+                X, prox, gradF, Z, gam, lam, lam * theta,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=sapg.positivity,
+            )
+            Xhatn = blur.rfft(Xn)
         else:
             gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
             Xn = myula_kernel_step(X, prox, gradF, gam, lam, Z, sapg.positivity)
@@ -439,6 +465,16 @@ def make_general_sapg_step(
 
             gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
             Xn, proxn, tv = myula_prox_tv(
+                X, prox, gradF, Z, gam, lam, lam * theta0_c,
+                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                tol=sapg.chambolle_tol, positivity=True,
+            )
+            Xhatn = blur.rfft(Xn)
+        elif resolve_use_tiled_fused():
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
+
+            gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
+            Xn, proxn, tv = myula_prox_tv_tiled(
                 X, prox, gradF, Z, gam, lam, lam * theta0_c,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,

@@ -221,3 +221,38 @@ def test_tiled_chambolle_interpret_batched():
         fi, sti = chambolle_prox(gs[i], 0.8, 25)
         np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
         assert int(stb.iters[i]) == int(sti.iters)
+
+
+def test_tiled_fused_step_interpret_matches_unfused():
+    """Row-tiled fused MYULA+prox+TV (xn and duals in VMEM scratch, gated
+    I/O index maps) vs the unfused composition — identical fields, TV, and
+    early-exit behavior, batched and single-image."""
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
+
+    B, M, N = 3, 64, 48
+    x = jax.random.uniform(jax.random.key(31), (B, M, N), jnp.float64) * 100
+    prox_c = jax.random.uniform(jax.random.key(32), (B, M, N), jnp.float64) * 100
+    gradf = jax.random.normal(jax.random.key(33), (B, M, N), jnp.float64)
+    z = jax.random.normal(jax.random.key(34), (B, M, N), jnp.float64)
+    g, l, lt = 0.03, 0.9, 0.04
+
+    xn, f, tv = myula_prox_tv_tiled(
+        x, prox_c, gradf, z, g, l, lt, n_sweeps=25, tile_rows=16, interpret=True
+    )
+    assert tv.shape == (B,)
+    for i in range(B):
+        xr = myula_kernel_step(x[i], prox_c[i], gradf[i], g, l, z[i], True)
+        pr, _ = chambolle_prox(xr, lt, 25)
+        np.testing.assert_allclose(np.asarray(xn[i]), np.asarray(xr), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(f[i]), np.asarray(pr), atol=1e-12)
+        np.testing.assert_allclose(float(tv[i]), float(tv_norm(xr)), rtol=1e-10)
+
+    # single-image squeeze path + early exit on an easy problem
+    x1 = jnp.ones((32, 32), jnp.float64) * 5
+    xn1, f1, tv1 = myula_prox_tv_tiled(
+        x1, x1, jnp.zeros_like(x1), jnp.zeros_like(x1), g, l, 0.5,
+        n_sweeps=25, tile_rows=8, interpret=True,
+    )
+    pr1, st1 = chambolle_prox(np.asarray(xn1), 0.5, 25)
+    assert int(st1.iters) < 25  # reference exits early; fields must agree
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(pr1), atol=1e-12)

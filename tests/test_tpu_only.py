@@ -212,3 +212,39 @@ def test_tiled_chambolle_bit_identical_1024():
     f_t, st_t = chambolle_prox_tiled(g, jnp.float32(0.05), 25, tile_rows=128)
     assert float(jnp.max(jnp.abs(f_t - f_ref))) == 0.0
     assert int(st_t.iters) == int(st_ref.iters)
+
+
+@requires_tpu
+def test_tiled_fused_step_bit_identical_1024():
+    """Row-tiled fused MYULA+prox+TV kernel vs the unfused XLA composition
+    at 1024² on the real chip (the whole-image fused kernel cannot compile
+    at this size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
+    from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
+    from semiblind_tv_tpu.samplers.myula import myula_kernel_step
+
+    ks = jax.random.split(jax.random.key(7), 4)
+    x = jax.random.uniform(ks[0], (1024, 1024), jnp.float32) * 255
+    prox_c = x + jax.random.normal(ks[1], (1024, 1024)) * 0.1
+    gradf = jax.random.normal(ks[2], (1024, 1024)) * 0.01
+    z = jax.random.normal(ks[3], (1024, 1024))
+    g, l, lt = jnp.float32(1.9), jnp.float32(2.0), jnp.float32(0.02)
+
+    xn_f, proxn_f, tv_f = myula_prox_tv_tiled(x, prox_c, gradf, z, g, l, lt, 25)
+    xn_r = myula_kernel_step(x, prox_c, gradf, g, l, z, True)
+    proxn_r, _ = chambolle_prox(xn_r, lt, 25)
+    assert float(jnp.max(jnp.abs(xn_f - xn_r))) == 0.0
+    assert float(jnp.max(jnp.abs(proxn_f - proxn_r))) == 0.0
+    np.testing.assert_allclose(float(tv_f), float(tv_norm(xn_r)), rtol=1e-5)
+
+    # chain-batched form: chains sequential in the outer grid dim
+    xb = jnp.stack([x, x * 0.5])
+    xn_b, proxn_b, tv_b = myula_prox_tv_tiled(
+        jnp.stack([x, x * 0.5]), jnp.stack([prox_c, prox_c * 0.5]),
+        jnp.stack([gradf, gradf]), jnp.stack([z, z]), g, l, lt, 25
+    )
+    assert float(jnp.max(jnp.abs(xn_b[0] - xn_f))) == 0.0
+    assert float(jnp.max(jnp.abs(proxn_b[0] - proxn_f))) == 0.0
