@@ -348,10 +348,13 @@ def make_general_sapg_step(
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
 
             gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
+            # 64-row tiles halve the sequential grid-step count vs 32 (the
+            # dominant cost at this size); 128 exceeds scoped VMEM at 1024²
             Xn, proxn, tv = myula_prox_tv_tiled(
                 X, prox, gradF, Z, gam, lam, lam * theta,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                tile_rows=64 if blur.shape[0] % 64 == 0 else 32,
             )
             Xhatn = blur.rfft(Xn)
         else:
@@ -478,6 +481,7 @@ def make_general_sapg_step(
                 X, prox, gradF, Z, gam, lam, lam * theta0_c,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,
+                tile_rows=64 if blur.shape[0] % 64 == 0 else 32,
             )
             Xhatn = blur.rfft(Xn)
         else:
