@@ -4,9 +4,10 @@ Usage (real TPU):
     BENCH_OPT_CONFIGS="default:8,fused:8,pallas_prox:8" \
         timeout 590 python benchmarks/bench_options.py
 
-Each config is `variant:chains` with variant in {default, fused,
-pallas_prox} optionally prefixed dft_ (matmul-DFT transforms); one JSON line is printed per config.  Configs run serially in
-one process (avoid concurrent remote compiles — CLAUDE.md).
+Each config is `variant:chains` with variant in {default, fused, onekernel,
+irdft, ikr, pallas_prox} optionally prefixed dft_ (matmul-DFT transforms)
+and/or fixedw_ (w1/w2 pinned); one JSON line is printed per config.  Configs
+run serially in one process (avoid concurrent remote compiles — CLAUDE.md).
 """
 import dataclasses
 import json
@@ -46,6 +47,9 @@ def measure(variant: str, n_chains: int) -> float:
         mods["use_fused_step"] = True
         mods["fuse_dft"] = False
         mods["fuse_irdft"] = True
+    elif variant == "ikr":           # fused step with in-kernel hardware-PRNG noise
+        mods["use_fused_step"] = True
+        mods["in_kernel_rng"] = True
     elif variant == "pallas_prox":
         mods["use_pallas_prox"] = True
     elif variant != "default":

@@ -197,6 +197,11 @@ def main(argv=None):
                         "faster from the wide BSNR-midpoint init at 512^2 "
                         "(the reference's linear update barely moves there, "
                         "RESULTS.md); off = reference dynamics")
+    p.add_argument("--in-kernel-rng", action="store_true",
+                   help="EXTENSION: generate the Langevin noise inside the "
+                        "fused Mosaic kernel via the hardware per-core PRNG "
+                        "(different but equally valid noise realization; "
+                        "TPU-only, auto-off elsewhere)")
     p.add_argument("--mesh", default=None, metavar="DxC",
                    help="run the SAPG phase sharded on a data x chains device "
                         "mesh, e.g. --mesh 1x8 (requires chains %% C == 0)")
@@ -217,6 +222,8 @@ def main(argv=None):
         sapg_over["fft_mode"] = args.fft_mode
     if args.sigma_log_scale:
         sapg_over["sigma_log_scale"] = True
+    if args.in_kernel_rng:
+        sapg_over["in_kernel_rng"] = True
     if sapg_over:
         cfg = dataclasses.replace(cfg, sapg=dataclasses.replace(cfg.sapg, **sapg_over))
 

@@ -36,7 +36,7 @@ from semiblind_tv_tpu.ops.tv_pallas import (
 
 __all__ = [
     "myula_prox_tv", "myula_prox_tv_dft", "myula_prox_tv_irdft",
-    "myula_prox_tv_tiled",
+    "myula_prox_tv_rng", "myula_prox_tv_tiled",
 ]
 
 
@@ -74,6 +74,144 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
     # whole-array SMEM output, one row per sequential grid program
     tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+
+
+def _box_muller_normals(shape, dtype):
+    """Standard normals from the seeded per-core TPU PRNG (Box–Muller).
+    Both branches of each (u1, u2) pair are used (z = r·cos, r·sin over a
+    half-height draw when the row count is even), halving the log/sqrt/
+    cos-class transcendental count per element.  u1 maps the top 24 bits
+    into (0, 1] so log never sees 0; u2 into [0, 1).  Callers must
+    pltpu.prng_seed first."""
+    M, N = shape
+    paired = M % 2 == 0
+    draw = (M // 2, N) if paired else shape
+
+    def uniform(offset):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(draw), jnp.uint32)
+        # top 24 bits < 2^24 fit non-negative int32 — Mosaic lowers
+        # int32→float but not uint32→float
+        top = pltpu.bitcast(bits >> 8, jnp.int32).astype(dtype)
+        return (top + offset) * dtype.type(2.0**-24)
+
+    u1 = uniform(1.0)   # (0, 1]
+    u2 = uniform(0.0)   # [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    t = dtype.type(6.283185307179586) * u2
+    if paired:
+        return jnp.concatenate([r * jnp.cos(t), r * jnp.sin(t)], axis=0)
+    return r * jnp.cos(t)
+
+
+def _kernel_rng(x_ref, prox_ref, grad_ref, seed_ref, scal_ref,
+                xn_ref, proxn_ref, tv_ref,
+                *, n_sweeps: int, positivity: bool):
+    """myula_prox_tv with the Langevin noise generated IN the kernel (the
+    hardware per-core PRNG) instead of streamed from HBM — drops the Z field's
+    HBM write+read (2·M·N·4 bytes/chain-iter) and its XLA threefry dispatch."""
+    gamma = scal_ref[0]
+    lam = scal_ref[1]
+    lam_theta = scal_ref[2]
+    tau = scal_ref[3]
+    tol = scal_ref[4]
+
+    x = x_ref[0]
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[b, 0], seed_ref[b, 1])
+    z = _box_muller_normals(x.shape, x.dtype)
+
+    xn = (
+        x
+        + gamma * (prox_ref[0] - x) / lam
+        - gamma * grad_ref[0]
+        + jnp.sqrt(2.0 * gamma) * z
+    )
+    if positivity:
+        xn = jnp.abs(xn)
+    xn_ref[0] = xn
+
+    px0 = jnp.zeros_like(x)
+    px, py, _, _ = dual_ascent_loop(xn / lam_theta, tau, tol, n_sweeps, px0, px0)
+    proxn_ref[0] = xn - lam_theta * neumann_div(px, py)
+
+    dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
+    dv = xn - jnp.concatenate([xn[-1:, :], xn[:-1, :]], axis=0)
+    tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity"))
+def myula_prox_tv_rng(
+    x: jnp.ndarray,
+    prox_cache: jnp.ndarray,
+    grad_f: jnp.ndarray,
+    seeds: jnp.ndarray,
+    gamma,
+    lam,
+    lam_theta,
+    n_sweeps: int = 25,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    positivity: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """myula_prox_tv variant with IN-KERNEL noise generation (EXTENSION,
+    opt-in via SAPGConfig.in_kernel_rng — not reference behavior).
+
+    `seeds` is (B, 2) int32 (or (2,) for a single chain): per-chain,
+    per-iteration hardware-PRNG seeds — the caller derives them from its
+    split threefry key stream (estimator.chain_seeds), so determinism and
+    per-chain layout invariance are preserved, but the normal draw itself is
+    an in-kernel Box–Muller over pltpu.prng_random_bits rather than the host
+    threefry stream: a DIFFERENT (equally valid) noise realization, so
+    trajectories are not comparable sample-for-sample with the default path.
+
+    TPU-only: pltpu.prng_seed has no CPU/interpret lowering, so there is no
+    interpret= escape hatch here; the estimator auto-gates the option to TPU
+    backends (tested statistically in tests/test_tpu_only.py)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        raise NotImplementedError(
+            "in-kernel RNG requires a TPU backend (pltpu.prng_seed has no "
+            f"CPU lowering); on {jax.default_backend()!r} use the default path"
+        )
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, prox_cache, grad_f, seeds = x[None], prox_cache[None], grad_f[None], seeds[None]
+    B, M, N = x.shape
+    assert seeds.shape == (B, 2), seeds.shape
+    scal = jnp.stack(
+        [jnp.asarray(gamma, x.dtype), jnp.asarray(lam, x.dtype),
+         jnp.asarray(lam_theta, x.dtype), jnp.asarray(tau, x.dtype),
+         jnp.asarray(tol, x.dtype)]
+    )
+    img_spec = lambda: pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def run(xc, proxc, gradc, seedc):
+        Bc = xc.shape[0]
+        return pl.pallas_call(
+            partial(_kernel_rng, n_sweeps=n_sweeps, positivity=bool(positivity)),
+            grid=(Bc,),
+            out_shape=(
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct(xc.shape, xc.dtype),
+                jax.ShapeDtypeStruct((Bc,), xc.dtype),
+            ),
+            in_specs=[
+                img_spec(),
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                img_spec(),
+                img_spec(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+        )(xc, proxc, gradc, seedc, scal)
+
+    xn, proxn, tv = chunked_chain_call(run, (x, prox_cache, grad_f, seeds))
+    if squeeze:
+        xn, proxn, tv = xn[0], proxn[0], tv[0]
+    return xn, proxn, tv
 
 
 def _kernel_dft(ghat_re_ref, ghat_im_ref, x_ref, prox_ref, z_ref,

@@ -81,6 +81,25 @@ class SAPGConfig:
                                     # myula_prox_tv_dft).  Only active when
                                     # use_fused_step and fft_mode == 'dft'.
                                     # None = auto (measured per RESULTS.md)
+    fuse_irdft: bool = False        # two-region-minus-one split: fuse ONLY the
+                                    # inverse transform into the spatial kernel
+                                    # (myula_prox_tv_irdft); explicit opt-in —
+                                    # measured negative at the 512² flagship
+                                    # (Mosaic scoped-VMEM compile fail at B=16,
+                                    # RESULTS.md r3), kept selectable for the
+                                    # bench_options harness at smaller sizes
+    in_kernel_rng: bool = False     # EXTENSION (opt-in): generate the Langevin
+                                    # noise INSIDE the fused Mosaic kernel via
+                                    # the hardware per-core PRNG (pltpu.
+                                    # prng_random_bits + Box–Muller) instead of
+                                    # streaming a threefry Z field from HBM.
+                                    # Seeds derive from the same per-chain key
+                                    # splits, so runs stay deterministic and
+                                    # layout-invariant, but the noise
+                                    # realization differs from the default
+                                    # stream — NOT sample-for-sample comparable
+                                    # with reference-parity trajectories.
+                                    # TPU-only; ignored (auto-off) on CPU.
     track_traces: bool = True       # record per-iteration diagnostics
     theta_log_scale: bool = False   # SAPG Algorithm-1 style eta=log(theta)
                                     # updates (SALSA/SAPG_algorithm_1.m:180-182);

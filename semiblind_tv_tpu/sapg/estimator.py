@@ -197,6 +197,19 @@ def make_general_sapg_step(
             and 3 * field_bytes <= 12 * 2**20
         )
 
+    def resolve_in_kernel_rng(B: int) -> bool:
+        # EXTENSION, explicit opt-in (cfg.sapg.in_kernel_rng): hardware-PRNG
+        # noise generated inside the fused spatial kernel (ops/
+        # fused_step_pallas.myula_prox_tv_rng).  Only meaningful where the
+        # whole-image fused kernel runs; auto-off on CPU (pltpu.prng_seed has
+        # no CPU lowering) and on the fuse_dft one-kernel path.
+        return (
+            sapg.in_kernel_rng
+            and jax.default_backend() in ("tpu", "axon")
+            and resolve_use_fused(B)
+            and not resolve_fuse_dft(B)
+        )
+
     def resolve_fuse_dft(B: int) -> bool:
         # Whole-iteration Mosaic kernel (irfft + MYULA + prox + TV + rfft in
         # one launch).  Measured (RESULTS.md r2): wins where the step is
@@ -312,6 +325,19 @@ def make_general_sapg_step(
         Z = jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(subs)
         return new_keys, Z
 
+    def chain_seeds(keys):
+        """in_kernel_rng variant of chain_noise: the same per-chain key split
+        advances the key stream, but instead of materialising a Z field the
+        sub-key's raw 64-bit key data seeds the in-kernel hardware PRNG
+        ((B, 2) int32 per iteration) — deterministic and layout-invariant,
+        different noise realization (see SAPGConfig.in_kernel_rng)."""
+        ks = jax.vmap(jax.random.split)(keys)
+        new_keys, subs = ks[:, 0], ks[:, 1]
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.key_data(subs), jnp.int32
+        )
+        return new_keys, seeds
+
     burn_in_static = sapg.burn_in_resolved
 
     def step(carry, ii, consts):
@@ -320,7 +346,11 @@ def make_general_sapg_step(
         H, dHs = (H0_c, {}) if all_fixed else otfs(params)
         Rhat = H[None] * Xhat - yhat[None]
 
-        keys, Z = chain_noise(keys, X.shape[1:])
+        use_ikr = resolve_in_kernel_rng(X.shape[0])
+        if use_ikr:
+            keys, Z = chain_seeds(keys)  # Z carries the (B, 2) seeds
+        else:
+            keys, Z = chain_noise(keys, X.shape[1:])
         if resolve_fuse_dft(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_dft
 
@@ -333,16 +363,39 @@ def make_general_sapg_step(
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
                 precision=blur.precision,
             )
-        elif resolve_use_fused(X.shape[0]):
-            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+        elif (sapg.fuse_irdft and resolve_use_fused(X.shape[0])
+              and blur.fft_mode == "dft" and not use_ikr):
+            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_irdft
 
-            gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
-            # natively chain-batched kernel (grid of B programs) — no vmap
-            Xn, proxn, tv = myula_prox_tv(
-                X, prox, gradF, Z, gam, lam, lam * theta,
+            # two-region-minus-one split (explicit opt-in; 512² B=16 measured
+            # compile-fail — RESULTS.md r3)
+            Xn, proxn, tv = myula_prox_tv_irdft(
+                jnp.conj(H)[None] * Rhat, X, prox, Z, blur._rdft,
+                gam, lam, lam * theta, sigma2,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                precision=blur.precision,
             )
+            Xhatn = blur.rfft(Xn)
+        elif resolve_use_fused(X.shape[0]):
+            gradF = blur.irfft(jnp.conj(H)[None] * Rhat) / sigma2
+            if use_ikr:
+                from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_rng
+
+                Xn, proxn, tv = myula_prox_tv_rng(
+                    X, prox, gradF, Z, gam, lam, lam * theta,
+                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                    tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                )
+            else:
+                from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+
+                # natively chain-batched kernel (grid of B programs) — no vmap
+                Xn, proxn, tv = myula_prox_tv(
+                    X, prox, gradF, Z, gam, lam, lam * theta,
+                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                    tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                )
             Xhatn = blur.rfft(Xn)
         elif resolve_use_tiled_fused():
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled
@@ -452,7 +505,11 @@ def make_general_sapg_step(
         sigma0 = consts["sigma2_init"]
         X, Xhat, prox, keys = carry
         Rhat = H0_c[None] * Xhat - yhat[None]
-        keys, Z = chain_noise(keys, X.shape[1:])
+        use_ikr = resolve_in_kernel_rng(X.shape[0])
+        if use_ikr:
+            keys, Z = chain_seeds(keys)  # Z carries the (B, 2) seeds
+        else:
+            keys, Z = chain_noise(keys, X.shape[1:])
         if resolve_fuse_dft(X.shape[0]):
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_dft
 
@@ -464,14 +521,23 @@ def make_general_sapg_step(
                 precision=blur.precision,
             )
         elif resolve_use_fused(X.shape[0]):
-            from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
-
             gradF = blur.irfft(jnp.conj(H0_c)[None] * Rhat) / sigma0
-            Xn, proxn, tv = myula_prox_tv(
-                X, prox, gradF, Z, gam, lam, lam * theta0_c,
-                n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
-                tol=sapg.chambolle_tol, positivity=True,
-            )
+            if use_ikr:
+                from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_rng
+
+                Xn, proxn, tv = myula_prox_tv_rng(
+                    X, prox, gradF, Z, gam, lam, lam * theta0_c,
+                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                    tol=sapg.chambolle_tol, positivity=True,
+                )
+            else:
+                from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv
+
+                Xn, proxn, tv = myula_prox_tv(
+                    X, prox, gradF, Z, gam, lam, lam * theta0_c,
+                    n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
+                    tol=sapg.chambolle_tol, positivity=True,
+                )
             Xhatn = blur.rfft(Xn)
         elif resolve_use_tiled_fused():
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_tiled

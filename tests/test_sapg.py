@@ -118,6 +118,29 @@ def test_moffat_short_run():
     assert set(res.psf_params_EB) == {"alpha", "beta"}
 
 
+def test_in_kernel_rng_auto_off_on_cpu():
+    """in_kernel_rng=True must be auto-gated OFF on CPU backends (the TPU
+    hardware-PRNG primitives have no CPU lowering) and reproduce the default
+    trajectory exactly — the key-split schedule is unchanged there."""
+    import dataclasses
+
+    cfg = _short(gaussian_preset(fix_w1=False, fix_w2=False))
+    cfg_ikr = dataclasses.replace(
+        cfg, sapg=dataclasses.replace(cfg.sapg, in_kernel_rng=True)
+    )
+    x = _image()
+    res = run_sapg(
+        build_problem(x, cfg, jax.random.key(1), dtype=jnp.float64),
+        jax.random.key(2),
+    )
+    res_ikr = run_sapg(
+        build_problem(x, cfg_ikr, jax.random.key(1), dtype=jnp.float64),
+        jax.random.key(2),
+    )
+    np.testing.assert_array_equal(res.thetas, res_ikr.thetas)
+    np.testing.assert_array_equal(res.sigma2s, res_ikr.sigma2s)
+
+
 def test_dft_mode_matches_fft_trajectory():
     """fft_mode='dft' (matmul DFT hot loop) must reproduce the fft-mode
     trajectory to f64 matmul accuracy — same math, different transform

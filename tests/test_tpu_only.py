@@ -198,6 +198,88 @@ def test_operating_point_bands_laplace_wheel():
 
 
 @requires_tpu
+def test_in_kernel_rng_statistics_and_determinism():
+    """myula_prox_tv_rng (hardware-PRNG Box–Muller noise): with x = prox =
+    grad = 0 and γ = 0.5 the MYULA update reduces to xn = z, exposing the
+    raw normal field — check its moments, seed determinism, and that the
+    batched grid matches per-chain single runs bit-exactly."""
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_rng
+
+    M = N = 256
+    zero = jnp.zeros((M, N), jnp.float32)
+    g, l, lt = jnp.float32(0.5), jnp.float32(1.0), jnp.float32(0.02)
+    seeds = jnp.array([123, 456], jnp.int32)
+
+    def draw(s, z2d=zero):
+        xn, _, _ = myula_prox_tv_rng(
+            z2d, jnp.zeros_like(z2d), jnp.zeros_like(z2d), s, g, l, lt,
+            n_sweeps=1, positivity=False,
+        )
+        return xn
+
+    xn = draw(seeds)
+    n = M * N
+    assert abs(float(jnp.mean(xn))) < 5.0 / np.sqrt(n)
+    assert abs(float(jnp.var(xn)) - 1.0) < 0.05
+    assert abs(float(jnp.mean(xn**3))) < 0.1          # skewness ≈ 0
+    assert abs(float(jnp.mean(xn**4)) - 3.0) < 0.3    # kurtosis ≈ 3
+    # same seeds → bit-identical; different seeds → different field
+    assert float(jnp.max(jnp.abs(draw(seeds) - xn))) == 0.0
+    assert float(jnp.max(jnp.abs(draw(seeds + 1) - xn))) > 0.1
+
+    # batched grid: each program seeds from its own row and matches the
+    # single-chain run bit-exactly
+    sb = jnp.array([[11, 22], [123, 456]], jnp.int32)
+    zb = jnp.zeros((2, M, N), jnp.float32)
+    xb, _, _ = myula_prox_tv_rng(
+        zb, zb, zb, sb, g, l, lt, n_sweeps=1, positivity=False
+    )
+    for i in range(2):
+        assert float(jnp.max(jnp.abs(xb[i] - draw(sb[i])))) == 0.0
+    assert float(jnp.max(jnp.abs(xb[0] - xb[1]))) > 0.1
+
+
+@requires_tpu
+def test_in_kernel_rng_through_estimator():
+    """in_kernel_rng=True runs the full SAPG step (fused kernel + seed
+    plumbing) and produces finite traces at n_chains > 1."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
+    from semiblind_tv_tpu.sapg.estimator import make_sapg_step
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    cfg = dataclasses.replace(
+        cfg,
+        # fuse_dft=False: at 256²/B=2 the one-kernel auto would win the
+        # dispatch and bypass the in-kernel-RNG path under test
+        sapg=dataclasses.replace(
+            cfg.sapg, use_fused_step=True, in_kernel_rng=True, fuse_dft=False
+        ),
+    )
+    problem = build_problem(synthetic_wheel(256), cfg, jax.random.key(0),
+                            dtype=jnp.float32)
+    step, aux = make_sapg_step(problem, n_chains=2)
+    theta0 = jnp.float32(cfg.theta.init)
+    sigma0 = problem.sigma2_init.astype(jnp.float32)
+    params0 = {k: jnp.float32(v) for k, v in cfg.init_psf_params().items()}
+    X0 = jnp.broadcast_to(problem.y, (2, 256, 256))
+    prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
+    keys = jax.random.split(jax.random.key(1), 2)
+    carry = (X0, jnp.fft.rfft2(X0), prox0, keys, theta0, sigma0, params0, {})
+    carry2, trace = jax.jit(step)(carry, jnp.float32(2.0))
+    assert np.isfinite(float(trace["logPi"]))
+    # the step consumed real noise: the chains moved and differ
+    assert float(jnp.max(jnp.abs(carry2[0][0] - carry2[0][1]))) > 1e-3
+
+
+@requires_tpu
 def test_tiled_chambolle_bit_identical_1024():
     """Row-tiled prox kernel vs the XLA op at 1024² on the real chip
     (the whole-image kernel cannot compile at this size)."""
