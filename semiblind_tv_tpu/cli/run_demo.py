@@ -38,6 +38,7 @@ def run_demo(
     dtype=jnp.float32,
     solver: str = "salsa",
     mesh=None,
+    space_mesh=None,
 ):
     """Run the full experiment; returns a results dict mirroring the
     reference `results` struct plus final metrics.
@@ -45,14 +46,23 @@ def run_demo(
     solver: 'salsa' (reference demos) or 'fista' (reference my_deblur_fista
     legacy path) for the MAP solve.
     mesh: optional ('data','chains') Mesh — runs the complete SAPG pipeline
-    sharded over the mesh's chains axis (run_sapg's shard_map path)."""
+    sharded over the mesh's chains axis (run_sapg's shard_map path).
+    space_mesh: optional ('space',) Mesh — row-shards the single image over
+    the mesh for the SAPG phase (the giant-image estimator
+    parallel.spatial.run_sapg_spatial; one chain, fft_mode='dft' required;
+    the MAP solve stays single-device)."""
     if key is None:
         key = jax.random.key(cfg.seed)
     k_prob, k_sapg = jax.random.split(key)
     problem = build_problem(image, cfg, k_prob, dtype=dtype)
 
     t0 = time.perf_counter()
-    sapg = run_sapg(problem, k_sapg, n_chains=n_chains, mesh=mesh)
+    if space_mesh is not None:
+        from semiblind_tv_tpu.parallel.spatial import run_sapg_spatial
+
+        sapg = run_sapg_spatial(problem, space_mesh, k_sapg)
+    else:
+        sapg = run_sapg(problem, k_sapg, n_chains=n_chains, mesh=mesh)
     sapg_time = time.perf_counter() - t0
 
     theta_EB = sapg.theta_EB
@@ -205,6 +215,12 @@ def main(argv=None):
     p.add_argument("--mesh", default=None, metavar="DxC",
                    help="run the SAPG phase sharded on a data x chains device "
                         "mesh, e.g. --mesh 1x8 (requires chains %% C == 0)")
+    p.add_argument("--space-mesh", type=int, default=None, metavar="S",
+                   help="row-shard the image over a ('space',) mesh of S "
+                        "devices for the SAPG phase (giant-image estimator "
+                        "run_sapg_spatial; forces fft_mode=dft, one chain). "
+                        "Falls back to an S-device virtual CPU mesh when the "
+                        "backend has fewer devices (demo mode)")
     args = p.parse_args(argv)
 
     kwargs = {}
@@ -224,6 +240,28 @@ def main(argv=None):
         sapg_over["sigma_log_scale"] = True
     if args.in_kernel_rng:
         sapg_over["in_kernel_rng"] = True
+    space_mesh = None
+    if args.space_mesh:
+        # the spatial estimator contracts its transforms with the host-side
+        # DFT factor matrices (parallel/spatial.py) — force the dft backend
+        sapg_over["fft_mode"] = "dft"
+        if len(jax.devices()) < args.space_mesh:
+            # same virtual-CPU fallback as __graft_entry__.dryrun_multichip:
+            # a single-chip tunnel can still demo the S-way sharded path
+            import jax.extend as jex
+
+            for _ in range(2):
+                try:
+                    jax.config.update("jax_num_cpu_devices", args.space_mesh)
+                    break
+                except RuntimeError:
+                    jex.backend.clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+            if len(jax.devices()) < args.space_mesh:
+                jex.backend.clear_backends()
+        from semiblind_tv_tpu.parallel.mesh import make_spatial_mesh
+
+        space_mesh = make_spatial_mesh(args.space_mesh)
     if sapg_over:
         cfg = dataclasses.replace(cfg, sapg=dataclasses.replace(cfg.sapg, **sapg_over))
 
@@ -243,7 +281,7 @@ def main(argv=None):
     image = load_image(args.image, args.image_dir, size=args.size)
     results, sapg, salsa, problem = run_demo(
         cfg, image, n_chains=args.chains, dtype=dtype, solver=args.solver,
-        mesh=mesh,
+        mesh=mesh, space_mesh=space_mesh,
     )
 
     print(json.dumps(results, indent=2))

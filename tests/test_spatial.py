@@ -301,3 +301,17 @@ def test_spatial_sapg_nan_guard_recovers(mesh, tmp_path):
     )
     assert hits["n"] == 1
     np.testing.assert_allclose(res.thetas, full.thetas, rtol=1e-12)
+
+
+def test_space_mesh_cli_flag(tmp_path):
+    """`run_demo --space-mesh S` routes the SAPG phase through
+    run_sapg_spatial end-to-end (TODO r3: the spatial-mode CLI surface)."""
+    from semiblind_tv_tpu.cli.run_demo import main
+
+    results = main([
+        "--psf", "gaussian", "--image", "synthetic", "--size", "32",
+        "--samples", "6", "--warmup", "4", "--space-mesh", "4",
+        "--out", str(tmp_path),
+    ])
+    assert np.isfinite(results["theta_EB"]) and np.isfinite(results["mse_db"])
+    assert (tmp_path / "results.json").exists()
