@@ -63,6 +63,14 @@ def _problem():
     )
 
 
+def _with_ikr(cfg):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, sapg=dataclasses.replace(cfg.sapg, use_fused_step=True, in_kernel_rng=True)
+    )
+
+
 def bench_sapg(cfg, problem, n_chains):
     """Post-compile steady-state chain-iterations/sec of the SAPG hot loop."""
     from semiblind_tv_tpu.sapg.estimator import make_sapg_step
@@ -174,6 +182,12 @@ def main():
     if not FAST:
         extras["single_chain_iters_per_sec"] = round(bench_sapg(cfg, problem, 1), 3)
         extras["salsa_map_512_330iter_s"] = round(bench_salsa(problem), 3)
+        if jax.default_backend() in ("tpu", "axon"):
+            # opt-in hardware-PRNG noise path (+2.4% measured, RESULTS.md r3;
+            # the flagship metric stays the reference-parity noise stream)
+            extras["in_kernel_rng_iters_per_sec"] = round(
+                bench_sapg(_with_ikr(cfg), problem, FLAGSHIP_CHAINS), 3
+            )
     # median of 3 to stabilise the host-load-sensitive CPU baseline
     cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
     print(
