@@ -198,6 +198,51 @@ def test_operating_point_bands_laplace_wheel():
 
 
 @requires_tpu
+def test_operating_point_bands_gaussian_wheel():
+    """Full-budget 512² Gaussian band, published configuration (w pinned —
+    run_Gaussian_demo.m:42-43), wheel.png at BSNR 30.  Bands from the
+    8-photograph parity table (RESULTS.md: σ²_EB −1.8%, θ_EB 0.0209,
+    6.6 dB gain): σ² within 8%, θ in the cross-image band, ≥4 dB gain."""
+    import jax.numpy as jnp
+    import dataclasses as dc
+
+    from semiblind_tv_tpu.cli.run_demo import run_demo
+    from semiblind_tv_tpu.runtime import gaussian_preset
+    from semiblind_tv_tpu.utils import load_image
+
+    cfg = gaussian_preset()
+    cfg = dc.replace(cfg, image="wheel")
+    results, *_ = run_demo(cfg, load_image("wheel"), n_chains=1, dtype=jnp.float32)
+    assert abs(np.log(results["sigma2_EB"] / results["sigma2_true"])) < 0.08
+    assert 0.01 < results["theta_EB"] < 0.04
+    assert results["mse_db"] < results["mse_db_observation"] - 4.0
+
+
+@requires_tpu
+def test_operating_point_bands_moffat_wheel():
+    """Full-budget 512² Moffat band (θ, α, β, σ² jointly estimated),
+    wheel.png at BSNR 30.  Bands from the 9-photograph parity table
+    (RESULTS.md: α_EB 0.429, σ²_EB −0.7%, 6.4 dB gain): α within 0.06 of
+    truth, σ² within 8%, ≥4 dB gain.  β is deliberately NOT asserted —
+    it is the weakly-identified axis (α–β profile degeneracy plus the
+    reference's α-gradient factor-2 quirk; certified separately by the
+    NumPy dynamics oracle, benchmarks/oracle_dynamics.py)."""
+    import jax.numpy as jnp
+    import dataclasses as dc
+
+    from semiblind_tv_tpu.cli.run_demo import run_demo
+    from semiblind_tv_tpu.runtime import moffat_preset
+    from semiblind_tv_tpu.utils import load_image
+
+    cfg = moffat_preset()
+    cfg = dc.replace(cfg, image="wheel")
+    results, *_ = run_demo(cfg, load_image("wheel"), n_chains=1, dtype=jnp.float32)
+    assert abs(results["psf_params_EB"]["alpha"] - 0.4) < 0.06
+    assert abs(np.log(results["sigma2_EB"] / results["sigma2_true"])) < 0.08
+    assert results["mse_db"] < results["mse_db_observation"] - 4.0
+
+
+@requires_tpu
 def test_in_kernel_rng_statistics_and_determinism():
     """myula_prox_tv_rng (hardware-PRNG Box–Muller noise): with x = prox =
     grad = 0 and γ = 0.5 the MYULA update reduces to xn = z, exposing the
