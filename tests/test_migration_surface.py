@@ -66,6 +66,20 @@ DOCUMENTED = [
     ("semiblind_tv_tpu.metrics.metrics", "ssim"),
     ("semiblind_tv_tpu.utils.signals", "calctv"),
     ("semiblind_tv_tpu.utils.signals", "monotonize"),
+    # flat re-exports the guide's solver-zoo table relies on
+    ("semiblind_tv_tpu.solvers", "salsa_tv"),
+    ("semiblind_tv_tpu.solvers", "csalsa"),
+    ("semiblind_tv_tpu.solvers", "csalsa_tv"),
+    ("semiblind_tv_tpu.solvers", "csalsa_synthesis"),
+    ("semiblind_tv_tpu.solvers", "coral"),
+    ("semiblind_tv_tpu.solvers", "coral_tv_l1"),
+    ("semiblind_tv_tpu.solvers", "nesta"),
+    ("semiblind_tv_tpu.solvers", "spg_lasso"),
+    ("semiblind_tv_tpu.solvers", "spgl1_bpdn"),
+    ("semiblind_tv_tpu.solvers", "fista"),
+    ("semiblind_tv_tpu.solvers", "fista_tv"),
+    ("semiblind_tv_tpu.solvers", "soft_threshold"),
+    ("semiblind_tv_tpu.runtime", "isotropic_preset"),
 ]
 
 
