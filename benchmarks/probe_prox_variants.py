@@ -183,6 +183,39 @@ def make_kernel(mode):
                 (jnp.zeros_like(g), jnp.zeros_like(g), jnp.zeros((), jnp.float32),
                  jnp.array(jnp.inf, g.dtype)))
 
+        elif mode == "every5":
+            # while-loop form, residual reduction computed only every 5th
+            # sweep (exit can only trigger there — err is held in between).
+            # At operating points where the 25-sweep budget never
+            # early-exits (iters==25 in meta), the output is bit-identical
+            # to base; where it does exit, exit lands on the next multiple
+            # of 5 (same fixed point, more sweeps).
+            def cond(carry):
+                px, py, k, err = carry
+                return jnp.logical_and(k < max_iter, err > tol)
+
+            def body(carry):
+                px, py, k, err = carry
+                upx, upy = grads(px, py)
+                tmp = jnp.sqrt(upx * upx + upy * upy)
+
+                def resid():
+                    rx = -upx + tmp * px
+                    ry = -upy + tmp * py
+                    return jnp.sqrt(jnp.sum(rx * rx + ry * ry))
+
+                step_err = jax.lax.cond(
+                    ((k + 1.0) % 5.0) == 0.0, resid, lambda: err)
+                rden = 1.0 / (1.0 + tau * tmp)
+                px = (px + tau * upx) * rden
+                py = (py + tau * upy) * rden
+                return px, py, k + 1.0, step_err
+
+            px, py, k, err = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros_like(g), jnp.zeros_like(g), jnp.zeros((), jnp.float32),
+                 jnp.array(jnp.inf, g.dtype)))
+
         elif mode == "while":
             def cond(carry):
                 px, py, k, err = carry
