@@ -190,6 +190,11 @@ def main():
             )
     # median of 3 to stabilise the host-load-sensitive CPU baseline
     cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
+    # Analytic speed-of-light denominator (benchmarks/roofline.py): makes
+    # round-over-round efficiency regressions driver-visible (VERDICT r3 #5).
+    from benchmarks.roofline import analytic
+
+    sol_rate = analytic(SIZE, SIZE)["sol_chain_iters_per_sec"]
     print(
         json.dumps(
             {
@@ -198,6 +203,8 @@ def main():
                 "unit": "chain-iter/s",
                 "vs_baseline": round(flagship_rate / cpu_rate, 3),
                 "cpu_ref_iters_per_sec": round(cpu_rate, 3),
+                "sol_chain_iters_per_sec": round(sol_rate, 1),
+                "sol_fraction": round(flagship_rate / sol_rate, 4),
                 **extras,
             }
         )

@@ -97,7 +97,7 @@ def tau_sweep(problem, taus: Sequence[float], salsa_cfg, psf_params=None):
     return mses, float(taus[i]), float(mses[i])
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--psf", choices=["gaussian", "laplace", "moffat"], default="gaussian")
     p.add_argument("--image", default="wheel")
@@ -118,7 +118,11 @@ def main(argv=None):
     p.add_argument("--tau-min", type=float, default=None)
     p.add_argument("--tau-max", type=float, default=None)
     p.add_argument("--seed", type=int, default=1)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     cfg = preset(args.psf)
     cfg = dataclasses.replace(

@@ -66,6 +66,11 @@ DOCUMENTED = [
     ("semiblind_tv_tpu.metrics.metrics", "ssim"),
     ("semiblind_tv_tpu.utils.signals", "calctv"),
     ("semiblind_tv_tpu.utils.signals", "monotonize"),
+    ("semiblind_tv_tpu.utils.signals", "sparse_pws"),
+    ("semiblind_tv_tpu.utils.signals", "make_rd_squares"),
+    ("semiblind_tv_tpu.utils.signals", "vectorized_operator"),
+    ("semiblind_tv_tpu.utils.signals", "ensure"),
+    ("semiblind_tv_tpu.runtime.profiling", "CallCounter"),
     # flat re-exports the guide's solver-zoo table relies on
     ("semiblind_tv_tpu.solvers", "salsa_tv"),
     ("semiblind_tv_tpu.solvers", "csalsa"),
@@ -96,3 +101,36 @@ def test_run_sapg_documented_kwargs():
     params = inspect.signature(run_sapg).parameters
     for kw in ("n_chains", "mesh", "checkpoint_every", "checkpoint_path"):
         assert kw in params
+
+
+# Call shapes the guide spells out, not just name existence (ADVICE r3):
+# every kwarg MIGRATION.md writes in a `name=` position must be a real
+# parameter of the documented callable.
+DOCUMENTED_KWARGS = [
+    ("semiblind_tv_tpu.solvers.salsa_generic", "salsa",
+     ("A", "AT", "inv_ls", "tau", "mu", "prox", "phi", "P", "PT")),
+    ("semiblind_tv_tpu.solvers.salsa_generic", "salsa_v1",
+     ("A", "AT", "inv_ls", "tau", "mu", "inner_iters")),
+    ("semiblind_tv_tpu.solvers.csalsa", "csalsa",
+     ("A", "AT", "invLS", "mu1", "mu2", "epsilon")),
+    ("semiblind_tv_tpu.solvers.salsa", "salsa_tv", ("tau", "mu", "blur")),
+]
+
+
+@pytest.mark.parametrize("module,attr,kwargs", DOCUMENTED_KWARGS,
+                         ids=lambda v: str(v))
+def test_documented_call_shape(module, attr, kwargs):
+    fn = getattr(importlib.import_module(module), attr)
+    params = inspect.signature(fn).parameters
+    for kw in kwargs:
+        assert kw in params, f"{module}.{attr} lost documented kwarg {kw!r}"
+
+
+def test_oracle_sweep_documented_cli_flags():
+    """MIGRATION.md maps salsa_m/salsa_m_sigma to these flags."""
+    from semiblind_tv_tpu.cli import oracle_sweep
+
+    parser = oracle_sweep.build_parser()
+    opts = {s for a in parser._actions for s in a.option_strings}
+    for flag in ("--tau-grid", "--sigma-grid", "--grid", "--psf", "--image"):
+        assert flag in opts, f"oracle_sweep lost documented flag {flag}"

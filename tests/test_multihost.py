@@ -21,14 +21,14 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_sapg():
+def test_two_process_distributed_sapg(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device counts
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid)],
+            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in range(2)
@@ -36,7 +36,7 @@ def test_two_process_distributed_sapg():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=360)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -65,3 +65,14 @@ def test_two_process_distributed_sapg():
     assert set(spatial) == {0, 1}, outs
     assert spatial[0] == spatial[1]
     assert np.isfinite(spatial[0])
+    # orbax leg: 2-process coordinated checkpoint write + resume, both
+    # trajectories ≡ the uninterrupted run and identical across hosts
+    orbax = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("ORBAX "):
+                _, pid, ok, theta = line.split()
+                orbax[int(pid)] = (int(ok), float(theta))
+    assert set(orbax) == {0, 1}, outs
+    assert orbax[0][0] == 1 and orbax[1][0] == 1, outs
+    assert orbax[0][1] == orbax[1][1]
