@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=15_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="optional JSON output path")
+    p.add_argument("--psf-log-scale", action="store_true",
+                   help="probe: log-space PSF-parameter updates (matches "
+                        "run_demo --psf-log-scale)")
     args = p.parse_args(argv)
 
     import oracles
@@ -48,7 +51,7 @@ def main(argv=None):
     t0 = time.time()
     res = oracles.np_sapg_dynamics_run(
         x, args.psf, seed=args.seed, samples=args.samples, warmup=args.warmup,
-        progress=500, fast=True,
+        progress=500, fast=True, psf_log_scale=args.psf_log_scale,
     )
     wall = time.time() - t0
     summary = {

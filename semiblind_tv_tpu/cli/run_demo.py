@@ -207,6 +207,10 @@ def main(argv=None):
                         "faster from the wide BSNR-midpoint init at 512^2 "
                         "(the reference's linear update barely moves there, "
                         "RESULTS.md); off = reference dynamics")
+    p.add_argument("--psf-log-scale", action="store_true",
+                   help="EXTENSION: log-space SA updates for the free PSF "
+                        "parameters (probe for the degenerate w1/beta axes); "
+                        "off = reference linear dynamics")
     p.add_argument("--in-kernel-rng", action="store_true",
                    help="EXTENSION: generate the Langevin noise inside the "
                         "fused Mosaic kernel via the hardware per-core PRNG "
@@ -238,6 +242,8 @@ def main(argv=None):
         sapg_over["fft_mode"] = args.fft_mode
     if args.sigma_log_scale:
         sapg_over["sigma_log_scale"] = True
+    if args.psf_log_scale:
+        sapg_over["psf_log_scale"] = True
     if args.in_kernel_rng:
         sapg_over["in_kernel_rng"] = True
     space_mesh = None

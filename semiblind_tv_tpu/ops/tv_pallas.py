@@ -29,8 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 from semiblind_tv_tpu.ops.tv import ChambolleState
 
 __all__ = [
-    "chambolle_prox_pallas", "chambolle_prox_tiled", "chunked_chain_call",
+    "chambolle_prox_pallas", "chambolle_prox_tiled", "chambolle_prox_streamed",
+    "chunked_chain_call",
     "dual_ascent_loop", "neumann_div", "tiled_sweep_phase", "tiled_divergence",
+    "streamed_tile_rows",
 ]
 
 # Largest chain-grid the 512² whole-image Mosaic kernels are known to compile
@@ -484,6 +486,336 @@ def chambolle_prox_tiled(
         ],
         interpret=interpret,
     )(g, g, scal)
+    iters = meta[:, 0].astype(jnp.int32)
+    err = meta[:, 1].astype(g.dtype)
+    zero = jnp.zeros_like(f)
+    if squeeze:
+        f, iters, err, zero = f[0], iters[0], err[0], zero[0]
+    return f, ChambolleState(px=zero, py=zero, iters=iters, err=err)
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed-dual variant for images whose TWO whole-image dual fields
+# exceed VMEM scratch (>= 2048^2 f32): temporally-blocked row tiles
+# ---------------------------------------------------------------------------
+
+# Sweeps per streaming pass.  The Jacobi stencil's reach is one row per
+# sweep, so a tile padded by K halo rows on each side yields EXACT central
+# rows after K local sweeps (standard temporal blocking / overlapped
+# tiling) — HBM dual traffic drops from 5 fields/sweep (fetch g+px+py,
+# write px+py — measured bandwidth-bound at 3.9 ms/25-sweep 2048^2 prox)
+# to ~5/K fields/sweep, leaving the VPU stencil as the bound.  K = 8 keeps
+# every DMA offset/size 8-row (sublane-tiling) aligned.
+STREAM_SWEEP_BLOCK = 8
+
+
+def streamed_tile_rows(M: int, N: int, itemsize: int = 4) -> int:
+    """Largest power-of-two central-row tile dividing M whose streaming
+    working set (2-slot g + pxy window fetch + 2-slot writeback staging)
+    fits the VMEM budget.  2048^2 f32 -> 128, 4096^2 -> 64."""
+    # working set: 2-slot g (2W) + 2-slot pxy (4W) + staging (4R) rows of
+    # buffers, plus ~6 live (W, N) sweep temporaries (u/upx/upy/tmp/rx/ry)
+    # Mosaic keeps in VMEM — R = 128 at N = 2048 compile-OOMs (HTTP 500)
+    # without the temp term, R = 64 fits and is bit-identical
+    budget = int(14 * 2**20)
+    for r in (256, 128, 64, 32):
+        w = r + 2 * STREAM_SWEEP_BLOCK
+        if M % r == 0 and M >= w and (12 * w + 4 * r) * N * itemsize <= budget:
+            return r
+    raise ValueError(f"no streamed tile size fits M={M}, N={N}")
+
+
+def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
+                     buf_g, buf_pxy, wpxy, errs, fsem, wsem,
+                     *, max_iter: int, tile_rows: int, n_tiles: int,
+                     sweep_block: int):
+    """Grid (B,): one program per chain; the whole solve runs in one
+    program.  Temporal blocking: per streaming pass each tile fetches a
+    (W, N) = (R + 2K, N) row window of g and of the packed duals, runs up
+    to K = sweep_block Jacobi sweeps LOCALLY in VMEM (central R rows stay
+    exact — the stencil reach is 1 row/sweep), and writes only the central
+    rows back.  HBM dual traffic is ~5/K fields per sweep instead of 5.
+
+    The duals ping-pong between two HBM workspaces (pxyA/pxyB, shared
+    across the sequential chains): a pass reads `src` and writes the other
+    buffer, so the reference's per-sweep early exit stays BIT-EXACT — the
+    global residual of every inner sweep is accumulated (central rows
+    only, same per-tile partial order as the whole-image op), and when the
+    first sub-tol residual lands mid-pass at inner sweep j*, the pass is
+    re-run from the intact `src` with limit j*, reproducing exactly the
+    state the sequential solver would have stopped at
+    (utils/chambolle_prox_TV_stop.m:120-149 semantics at any size)."""
+    b = pl.program_id(0)
+    R, T, K = tile_rows, n_tiles, sweep_block
+    W = R + 2 * K
+    M = T * R
+    lam, tau = scal_ref[0], scal_ref[1]
+    tol32 = scal_ref[2].astype(jnp.float32)
+    N = buf_g.shape[2]
+    dtype = buf_g.dtype
+
+    def h0_of(t):
+        # R and K are multiples of 8, so the clamp stays 8-row aligned —
+        # assert it to Mosaic (it cannot prove divisibility through clip)
+        return pl.multiple_of(jnp.clip(t * R - K, 0, M - W), 8)
+
+    def central(val, t):
+        # central offset c0 = t*R - h0_of(t) takes exactly three values:
+        # 0 (first tile), K (interior), 2K (last tile) — blend static
+        # slices with jnp.where (Mosaic has no dynamic_slice on values and
+        # does not legalize lax.cond's vector select)
+        v1 = val[K:K + R]
+        v1 = jnp.where(t == 0, val[0:R], v1)
+        return jnp.where(t == T - 1, val[2 * K:2 * K + R], v1)
+
+    def g_dma(t, slot):
+        return pltpu.make_async_copy(
+            g_ref.at[b, pl.ds(h0_of(t), W)], buf_g.at[slot], fsem.at[0, slot]
+        )
+
+    def _pxy_dma(ref, t, slot):
+        return pltpu.make_async_copy(
+            ref.at[:, pl.ds(h0_of(t), W)], buf_pxy.at[slot],
+            fsem.at[1, slot],
+        )
+
+    def _for_flag(flag, ref_op):
+        # run ref_op(pxyA) when flag == 0 else ref_op(pxyB); descriptors are
+        # constructed INSIDE the predicated bodies (an unused descriptor is
+        # a Mosaic error)
+        @pl.when(flag == 0)
+        def _():
+            ref_op(pxyA_ref)
+
+        @pl.when(flag != 0)
+        def _():
+            ref_op(pxyB_ref)
+
+    def start_fetch(src, t, slot):
+        g_dma(t, slot).start()
+        _for_flag(src, lambda ref: _pxy_dma(ref, t, slot).start())
+
+    def wait_fetch(src, t, slot):
+        g_dma(t, slot).wait()
+        _for_flag(src, lambda ref: _pxy_dma(ref, t, slot).wait())
+
+    def _wb_dma(ref, t, slot):
+        return pltpu.make_async_copy(
+            wpxy.at[slot], ref.at[:, pl.ds(t * R, R)], wsem.at[slot]
+        )
+
+    def start_wb(dst, t, slot):
+        _for_flag(dst, lambda ref: _wb_dma(ref, t, slot).start())
+
+    def wait_wb(dst, t, slot):
+        _for_flag(dst, lambda ref: _wb_dma(ref, t, slot).wait())
+
+    # ---- prologue: zero the initial dual workspace (pxyA) -----------------
+    wpxy[0] = jnp.zeros((2, R, N), dtype)
+
+    def zero_body(t, _):
+        d = _wb_dma(pxyA_ref, t, 0)
+        d.start()
+        d.wait()
+        return 0
+
+    jax.lax.fori_loop(0, T, zero_body, 0)
+
+    # ---- one streaming pass: up to `limit` sweeps from `src` --------------
+    def run_pass(src, limit):
+        # SMEM only takes scalar stores — zero the slots one by one
+        jax.lax.fori_loop(
+            0, K + 1, lambda i, _: (errs.__setitem__(i, 0.0), 0)[1], 0
+        )
+        start_fetch(src, 0, 0)
+
+        def tile_body(t, _):
+            p = t & 1
+
+            @pl.when(t + 1 < T)
+            def _():
+                start_fetch(src, t + 1, 1 - p)
+
+            wait_fetch(src, t, p)
+            glam_w = buf_g[p] / lam
+
+            def sweep_body(i, carry):
+                px_w, py_w = carry
+                u = neumann_div(px_w, py_w) - glam_w
+                zrow = jnp.zeros((1, N), dtype)
+                upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
+                upy = jnp.concatenate(
+                    [u[:, 1:] - u[:, :-1], jnp.zeros((W, 1), dtype)], axis=1
+                )
+                tmp = jnp.sqrt(upx * upx + upy * upy)
+                # residual over central rows only (the pad rows' values are
+                # not part of the global residual)
+                rx = central(-upx + tmp * px_w, t)
+                ry = central(-upy + tmp * py_w, t)
+                part = (jnp.sum(rx * rx) + jnp.sum(ry * ry)).astype(jnp.float32)
+                errs[i] = errs[i] + part
+                denom = 1.0 + tau * tmp
+                return (px_w + tau * upx) / denom, (py_w + tau * upy) / denom
+
+            # dynamic trip count: exactly `limit` window sweeps run — a
+            # 25-sweep solve costs 25 window sweeps (not ceil(25/K)*K)
+            px_w, py_w = jax.lax.fori_loop(
+                1, limit + 1, sweep_body, (buf_pxy[p, 0], buf_pxy[p, 1])
+            )
+
+            @pl.when(t >= 2)
+            def _():
+                wait_wb(1 - src, t - 2, p)
+
+            wpxy[p, 0] = central(px_w, t)
+            wpxy[p, 1] = central(py_w, t)
+            start_wb(1 - src, t, p)
+            return 0
+
+        jax.lax.fori_loop(0, T, tile_body, 0)
+        wait_wb(1 - src, T - 2, (T - 2) & 1)
+        wait_wb(1 - src, T - 1, (T - 1) & 1)
+
+    # ---- pass loop with bit-exact early exit ------------------------------
+    def pass_cond(carry):
+        s0, src, err = carry
+        return jnp.logical_and(s0 < max_iter, err > tol32)
+
+    def pass_body(carry):
+        s0, src, _ = carry
+        limit = jnp.minimum(jnp.int32(K), (jnp.int32(max_iter) - s0)).astype(
+            jnp.int32
+        )
+        run_pass(src, limit)
+
+        # first inner sweep whose global residual hit tol (if any)
+        def scan_j(i, jstar):
+            hit = jnp.logical_and(
+                i <= limit, jnp.sqrt(errs[i]) <= tol32
+            )
+            return jnp.where(jnp.logical_and(jstar == 0, hit), i, jstar)
+
+        jstar = jax.lax.fori_loop(1, K + 1, scan_j, jnp.int32(0))
+        jstop = jnp.where(jstar == 0, limit, jstar)
+
+        # exit fired mid-pass: re-run from the intact src with limit j*
+        @pl.when(jnp.logical_and(jstar > 0, jstar < limit))
+        def _():
+            run_pass(src, jstar)
+
+        return s0 + jstop, 1 - src, jnp.sqrt(errs[jstop])
+
+    s_final, src_final, err_final = jax.lax.while_loop(
+        pass_cond, pass_body,
+        (jnp.int32(0), jnp.int32(0), jnp.array(jnp.inf, jnp.float32)),
+    )
+
+    # ---- assemble f = g - lam * div(px, py) from the final workspace ------
+    start_fetch(src_final, 0, 0)
+
+    def asm_body(t, _):
+        p = t & 1
+
+        @pl.when(t + 1 < T)
+        def _():
+            start_fetch(src_final, t + 1, 1 - p)
+
+        wait_fetch(src_final, t, p)
+        px_w = buf_pxy[p, 0]
+        py_w = buf_pxy[p, 1]
+        g_w = buf_g[p]
+        div = neumann_div(px_w, py_w)
+        f_t = central(g_w - lam * div, t)
+
+        @pl.when(t >= 2)
+        def _():
+            pltpu.make_async_copy(
+                wpxy.at[p, 0], f_ref.at[b, pl.ds((t - 2) * R, R)], wsem.at[p]
+            ).wait()
+
+        wpxy[p, 0] = f_t
+        pltpu.make_async_copy(
+            wpxy.at[p, 0], f_ref.at[b, pl.ds(t * R, R)], wsem.at[p]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, asm_body, 0)
+    for t in (T - 2, T - 1):
+        pltpu.make_async_copy(
+            wpxy.at[t & 1, 0], f_ref.at[b, pl.ds(t * R, R)], wsem.at[t & 1]
+        ).wait()
+
+    meta_ref[b, 0] = s_final.astype(jnp.float32)
+    meta_ref[b, 1] = err_final
+
+
+@partial(jax.jit, static_argnames=("max_iter", "tile_rows", "interpret"))
+def chambolle_prox_streamed(
+    g: jnp.ndarray,
+    lam,
+    max_iter: int,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    tile_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, ChambolleState]:
+    """Chambolle prox for images whose two whole-image dual fields exceed
+    VMEM scratch (>= 2048^2 f32 — where chambolle_prox_tiled caps out):
+    the duals live in HBM (ping-pong pair) and row tiles stream through
+    VMEM with TEMPORAL BLOCKING — each fetched window runs up to
+    STREAM_SWEEP_BLOCK Jacobi sweeps locally before writing back, so HBM
+    traffic is ~5/K fields per sweep and the VPU stencil is the bound.
+    Same math and per-sweep early exit as ops.tv.chambolle_prox (fresh
+    duals, state discarded); bit-identity is TPU-tested at 2048^2.
+
+    Accepts (M, N) or (B, M, N); chains run sequentially in the grid,
+    sharing the HBM dual workspaces re-zeroed per chain.
+    """
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[None]
+    B, M, N = g.shape
+    if tile_rows is None:
+        tile_rows = streamed_tile_rows(M, N, jnp.dtype(g.dtype).itemsize)
+    R = tile_rows
+    K = STREAM_SWEEP_BLOCK
+    assert M % R == 0 and M // R >= 2 and M >= R + 2 * K, (M, R)
+    T = M // R
+    scal = jnp.stack(
+        [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype),
+         jnp.asarray(tol, g.dtype)]
+    )
+    W = R + 2 * K
+    f, _pxyA, _pxyB, meta = pl.pallas_call(
+        partial(_streamed_kernel, max_iter=max_iter, tile_rows=R, n_tiles=T,
+                sweep_block=K),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, N), g.dtype),      # f
+            jax.ShapeDtypeStruct((2, M, N), g.dtype),      # pxy ping
+            jax.ShapeDtypeStruct((2, M, N), g.dtype),      # pxy pong
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),     # meta (k, err)
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, N), g.dtype),      # buf_g (window fetch)
+            pltpu.VMEM((2, 2, W, N), g.dtype),   # buf_pxy (window fetch)
+            pltpu.VMEM((2, 2, R, N), g.dtype),   # wpxy (writeback staging)
+            pltpu.SMEM((K + 1,), jnp.float32),   # per-inner-sweep residuals
+            pltpu.SemaphoreType.DMA((2, 2)),     # fetch sems (g, pxy) x slot
+            pltpu.SemaphoreType.DMA((2,)),       # writeback sems x slot
+        ],
+        interpret=interpret,
+    )(g, scal)
     iters = meta[:, 0].astype(jnp.int32)
     err = meta[:, 1].astype(g.dtype)
     zero = jnp.zeros_like(f)

@@ -111,6 +111,13 @@ class SAPGConfig:
     sigma_log_scale: bool = False   # EXTENSION: log-space sigma² SA updates
                                     # (geometric-mean EB); off = reference
                                     # linear updates
+    psf_log_scale: bool = False     # EXTENSION: log-space SA updates for the
+                                    # free PSF parameters (chain-rule factor
+                                    # p, box clipped in log space) — a probe
+                                    # for the degenerate axes (w1, Moffat β)
+                                    # mirroring sigma_log_scale; off = the
+                                    # reference's linear updates
+                                    # (SAPG_algorithm_Guassian.m:170-185)
     track_posterior_moments: bool = False  # EXTENSION: Welford running
                                     # posterior mean/variance of X over the
                                     # post-burn-in samples (the reference's

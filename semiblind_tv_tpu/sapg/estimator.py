@@ -271,6 +271,24 @@ def make_general_sapg_step(
                 X, lam_theta, sapg.chambolle_iters,
                 tau=sapg.chambolle_tau, tol=sapg.chambolle_tol,
             )
+        # >=2048² (tiled's scratch duals no longer fit VMEM): HBM-streamed-
+        # dual kernel — duals live in HBM and stream through VMEM in
+        # manually double-buffered row tiles; bit-identical to the XLA prox
+        # and ~2.4× faster at 2048² (RESULTS.md r4)
+        if (
+            not sapg.use_pallas_prox
+            and use_fused_cfg is None
+            and on_tpu
+            and max(blur.shape) > 512
+            and blur.shape[0] % 128 == 0
+            and 2 * field_bytes > 12 * 2**20
+        ):
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_streamed
+
+            return chambolle_prox_streamed(
+                X, lam_theta, sapg.chambolle_iters,
+                tau=sapg.chambolle_tau, tol=sapg.chambolle_tol,
+            )
         # Pallas prox when asked for explicitly, OR as the TPU auto fallback
         # when the fused step kernel is gated off by chain count (B ≥ 32 at
         # 512²): the XLA vmapped prox goes HBM-bound there (1.4k vs 5.2k
@@ -446,9 +464,23 @@ def make_general_sapg_step(
         for s in psf_specs:
             if s.fix:
                 cand = jnp.asarray(s.true_value, dtype)
+                params_n[s.name] = s.clip(cand)
+            elif sapg.psf_log_scale:
+                # EXTENSION (opt-in, mirrors sigma_log_scale): log-space SA
+                # update with the chain-rule factor p, clipped in log space.
+                # Probe for the degenerate axes (w1 on wheel, Moffat beta);
+                # the reference's linear update stays the default
+                lp = jnp.log(params[s.name])
+                lp_n = jnp.clip(
+                    lp + s.sign * s.step_scale * delta_i * G_p[s.name]
+                    * params[s.name],
+                    jnp.log(jnp.asarray(s.box[0], dtype)),
+                    jnp.log(jnp.asarray(s.box[1], dtype)),
+                )
+                params_n[s.name] = jnp.exp(lp_n)
             else:
                 cand = params[s.name] + s.sign * s.step_scale * delta_i * G_p[s.name]
-            params_n[s.name] = s.clip(cand)
+                params_n[s.name] = s.clip(cand)
         if sigma_fix:
             sigma_n = consts["sigma2_init"]
         elif sapg.sigma_log_scale:

@@ -287,6 +287,7 @@ def np_sapg_dynamics_run(
     x, family, seed=0, samples=20_000, warmup=15_000, burn_in=None,
     psf_size=7, bsnr=30.0, th_init=0.01, chambolle_iters=25,
     theta_box=(1e-3, 1.0), d_exp=0.8, progress=None, fast=False,
+    psf_log_scale=False,
 ):
     """Run the reference's full SAPG dynamics (warm-up + main loop + burn-in
     EB means) for the Laplace or Moffat family on image ``x``.
@@ -402,9 +403,16 @@ def np_sapg_dynamics_run(
         delta = d_scale * ii ** (-d_exp) / d
         theta = clip(theta + spec["c_theta"] * delta * G_t, theta_box)
         for j, p in enumerate(spec["params"]):
-            params[j] = clip(
-                params[j] - spec["c_params"][j] * delta * G_ps[j], spec["boxes"][j]
-            )
+            if psf_log_scale:
+                # log-space extension probe (matches estimator.psf_log_scale:
+                # chain-rule factor p, box clipped in log space)
+                lo, hi = spec["boxes"][j]
+                lp = np.log(params[j]) - spec["c_params"][j] * delta * G_ps[j] * params[j]
+                params[j] = np.exp(clip(lp, (np.log(lo), np.log(hi))))
+            else:
+                params[j] = clip(
+                    params[j] - spec["c_params"][j] * delta * G_ps[j], spec["boxes"][j]
+                )
         sigma2 = clip(sigma2 + spec["c_sigma2"] * delta * G_s, sigma2_box)
 
         thetas[ii], sigmas[ii] = theta, sigma2

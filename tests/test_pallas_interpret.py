@@ -223,6 +223,42 @@ def test_tiled_chambolle_interpret_batched():
         assert int(stb.iters[i]) == int(sti.iters)
 
 
+def test_streamed_chambolle_interpret_matches_xla():
+    """HBM-streamed-dual prox (manual double-buffered DMA, duals in HBM —
+    the >=2048^2 form) vs the whole-image op: identical f, iteration
+    counts, and early exit, single and batched."""
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_streamed
+
+    g = jax.random.uniform(jax.random.key(2), (128, 96), jnp.float64) * 255
+    for lam in (0.05, 5.0):
+        f_ref, st_ref = chambolle_prox(g, lam, 25)
+        f_s, st_s = chambolle_prox_streamed(
+            g, lam, 25, tile_rows=32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref), atol=1e-12)
+        assert int(st_s.iters) == int(st_ref.iters)
+    # early exit fires identically (true while_loop: converged sweeps are
+    # not streamed at all)
+    g2 = jnp.ones((64, 64), jnp.float64)
+    f_ref, st_ref = chambolle_prox(g2, 0.5, 25)
+    f_s, st_s = chambolle_prox_streamed(g2, 0.5, 25, tile_rows=16, interpret=True)
+    assert int(st_s.iters) == int(st_ref.iters) < 25
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref), atol=1e-12)
+    # batched: chains sequential in the grid, shared HBM dual pair
+    B = 3
+    gs = jnp.stack([
+        jax.random.uniform(jax.random.key(20 + i), (64, 48), jnp.float64)
+        * (50.0 * (i + 1))
+        for i in range(B)
+    ])
+    fb, stb = chambolle_prox_streamed(gs, 0.8, 25, tile_rows=16, interpret=True)
+    assert fb.shape == gs.shape and stb.iters.shape == (B,)
+    for i in range(B):
+        fi, sti = chambolle_prox(gs[i], 0.8, 25)
+        np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
+        assert int(stb.iters[i]) == int(sti.iters)
+
+
 def test_tiled_fused_step_interpret_matches_unfused():
     """Row-tiled fused MYULA+prox+TV (xn and duals in VMEM scratch, gated
     I/O index maps) vs the unfused composition — identical fields, TV, and

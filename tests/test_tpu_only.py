@@ -342,6 +342,38 @@ def test_tiled_chambolle_bit_identical_1024():
 
 
 @requires_tpu
+def test_streamed_chambolle_bit_identical_2048():
+    """HBM-streamed temporally-blocked prox kernel vs the XLA op at 2048²
+    on the real chip (the VMEM-scratch tiled kernel cannot compile at this
+    size — its two whole-image dual fields exceed scratch).  Single and
+    batched, plus early-exit parity on an easy problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.tv import chambolle_prox
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_streamed
+
+    g = jax.random.uniform(jax.random.key(0), (2048, 2048), jnp.float32) * 255
+    f_ref, st_ref = chambolle_prox(g, jnp.float32(0.05), 25)
+    f_s, st_s = chambolle_prox_streamed(g, jnp.float32(0.05), 25)
+    assert float(jnp.max(jnp.abs(f_s - f_ref))) == 0.0
+    assert int(st_s.iters) == int(st_ref.iters)
+    # batched: chains sequential in the grid, shared HBM dual workspaces
+    gb = jnp.stack([g, g * 0.5])
+    fb, stb = chambolle_prox_streamed(gb, jnp.float32(0.05), 25)
+    for i in range(2):
+        fr, sr = chambolle_prox(gb[i], jnp.float32(0.05), 25)
+        assert float(jnp.max(jnp.abs(fb[i] - fr))) == 0.0
+        assert int(stb.iters[i]) == int(sr.iters)
+    # early exit fires identically (exercises the mid-pass redo path)
+    ge = jnp.ones((2048, 2048), jnp.float32)
+    f_ref, st_ref = chambolle_prox(ge, jnp.float32(0.5), 25)
+    f_s, st_s = chambolle_prox_streamed(ge, jnp.float32(0.5), 25)
+    assert int(st_s.iters) == int(st_ref.iters) < 25
+    assert float(jnp.max(jnp.abs(f_s - f_ref))) == 0.0
+
+
+@requires_tpu
 def test_tiled_fused_step_bit_identical_1024():
     """Row-tiled fused MYULA+prox+TV kernel vs the unfused XLA composition
     at 1024² on the real chip (the whole-image fused kernel cannot compile
