@@ -106,6 +106,19 @@ def main():
             k: best[k] for k in ("n_chains", "budget_frac", "sapg_wall_s",
                                  "mse_db", "theta_EB")
         }
+        # steady-state walls (all programs now jit-cached in-process): the
+        # single-chain full-budget reference point vs the fastest in-band
+        # cell — first-run walls above include each cell's compile
+        ref_steady = run_cell(1, 1.0, image)
+        best_steady = run_cell(best["n_chains"], best["budget_frac"], image)
+        summary["steady_reference_1x1.0"] = {
+            k: ref_steady[k] for k in ("sapg_wall_s", "mse_db", "in_band")
+        }
+        summary["steady_fastest_in_band"] = {
+            k: best_steady[k]
+            for k in ("n_chains", "budget_frac", "sapg_wall_s", "mse_db",
+                      "in_band")
+        }
     print(json.dumps(summary), flush=True)
 
 

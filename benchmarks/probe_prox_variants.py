@@ -216,6 +216,63 @@ def make_kernel(mode):
                 (jnp.zeros_like(g), jnp.zeros_like(g), jnp.zeros((), jnp.float32),
                  jnp.array(jnp.inf, g.dtype)))
 
+        elif mode in ("bf16", "bf16all"):
+            # VERDICT r3 #2 probe: dual-ascent stencil arithmetic in
+            # bfloat16 (doubles VPU lane width), duals carried in bf16.
+            # 'bf16': residual + exit decision in f32 (upcast per sweep);
+            # 'bf16all': residual in bf16 too, f32 only for the final sum.
+            # Final divergence recovery in f32 either way.  NOT
+            # bit-identical — an accuracy/speed trade for a possible
+            # opt-in (maxdiff_vs_base quantifies the damage).
+            bf = jnp.bfloat16
+            glam_b = glam.astype(bf)
+            zrow_b = jnp.zeros((1, N), bf)
+            zcol_b = jnp.zeros((M, 1), bf)
+            tau_b = tau.astype(bf)
+            tol32 = tol.astype(jnp.float32)
+
+            def bgrads(px, py):
+                u = (jnp.concatenate(
+                        [px[:1, :], px[1:-1, :] - px[:-2, :], -px[-1:, :]], 0)
+                     + jnp.concatenate(
+                        [py[:, :1], py[:, 1:-1] - py[:, :-2], -py[:, -1:]], 1)
+                     - glam_b)
+                upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow_b], axis=0)
+                upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol_b], axis=1)
+                return upx, upy
+
+            def cond(carry):
+                px, py, k, err = carry
+                return jnp.logical_and(k < max_iter, err > tol32)
+
+            def body(carry):
+                px, py, k, err = carry
+                upx, upy = bgrads(px, py)
+                tmp = jnp.sqrt(upx * upx + upy * upy)
+                if mode == "bf16":
+                    rx = (-upx.astype(jnp.float32)
+                          + tmp.astype(jnp.float32) * px.astype(jnp.float32))
+                    ry = (-upy.astype(jnp.float32)
+                          + tmp.astype(jnp.float32) * py.astype(jnp.float32))
+                    step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
+                else:
+                    rx = -upx + tmp * px
+                    ry = -upy + tmp * py
+                    step_err = jnp.sqrt(
+                        jnp.sum((rx * rx + ry * ry).astype(jnp.float32)))
+                rden = 1.0 / (jnp.asarray(1.0, bf) + tau_b * tmp)
+                px = (px + tau_b * upx) * rden
+                py = (py + tau_b * upy) * rden
+                return px, py, k + 1.0, step_err
+
+            px, py, k, err = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((M, N), bf), jnp.zeros((M, N), bf),
+                 jnp.zeros((), jnp.float32), jnp.array(jnp.inf, jnp.float32)))
+            px = px.astype(g.dtype)
+            py = py.astype(g.dtype)
+            err = err.astype(g.dtype)
+
         elif mode == "while":
             def cond(carry):
                 px, py, k, err = carry

@@ -42,7 +42,11 @@ __all__ = [
 # lax.map.  TPU grid programs are sequential per core anyway, so chunking
 # costs nothing beyond the (tiny) per-launch overhead — a user asking for
 # B = 64 chains gets the per-chip plateau rate instead of a compiler crash.
-MAX_GRID_CHAINS = 24
+# Env override SEMIBLIND_MAX_GRID_CHAINS for chunk-geometry probes
+# (benchmarks/probe_chain_droop.py).
+import os as _os
+
+MAX_GRID_CHAINS = int(_os.environ.get("SEMIBLIND_MAX_GRID_CHAINS", "24"))
 
 
 def chunked_chain_call(run, arrays, max_grid: int = MAX_GRID_CHAINS):
