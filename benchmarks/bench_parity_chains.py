@@ -65,9 +65,22 @@ def run_cell(n_chains, frac, image):
             burn_in=(samples * 80) // 100,
         ),
     )
+    # this tunnel's runtime kills device executions longer than ~70-85 s
+    # ("TPU worker crashed"); segment the main scan for cells whose single
+    # execution would exceed it (>= ~400k chain-iters at ~5.5k/s)
+    ckpt_kw = {}
+    if n_chains * samples >= 400_000:
+        ckpt_kw = dict(checkpoint_every=samples // 2,
+                       checkpoint_path=f"/tmp/parity_ck_{n_chains}_{samples}.npz")
     t0 = time.time()
-    results, *_ = run_demo(cfg, image, n_chains=n_chains, dtype=jnp.float32)
+    results, *_ = run_demo(cfg, image, n_chains=n_chains, dtype=jnp.float32,
+                           **ckpt_kw)
     wall = time.time() - t0
+    if ckpt_kw:
+        try:
+            os.remove(ckpt_kw["checkpoint_path"])
+        except OSError:
+            pass
     in_band = (
         abs(np.log(results["sigma2_EB"] / results["sigma2_true"])) < 0.08
         and 0.01 < results["theta_EB"] < 0.04

@@ -39,6 +39,8 @@ def run_demo(
     solver: str = "salsa",
     mesh=None,
     space_mesh=None,
+    checkpoint_every=None,
+    checkpoint_path=None,
 ):
     """Run the full experiment; returns a results dict mirroring the
     reference `results` struct plus final metrics.
@@ -60,9 +62,17 @@ def run_demo(
     if space_mesh is not None:
         from semiblind_tv_tpu.parallel.spatial import run_sapg_spatial
 
-        sapg = run_sapg_spatial(problem, space_mesh, k_sapg)
+        sapg = run_sapg_spatial(problem, space_mesh, k_sapg,
+                                checkpoint_every=checkpoint_every,
+                                checkpoint_path=checkpoint_path)
     else:
-        sapg = run_sapg(problem, k_sapg, n_chains=n_chains, mesh=mesh)
+        # checkpoint_every also bounds single-execution device time — this
+        # axon tunnel kills executions longer than ~70-85 s ("TPU worker
+        # crashed"), which a 24-chain full-budget 512^2 main scan exceeds;
+        # segmenting keeps each launch well under the watchdog
+        sapg = run_sapg(problem, k_sapg, n_chains=n_chains, mesh=mesh,
+                        checkpoint_every=checkpoint_every,
+                        checkpoint_path=checkpoint_path)
     sapg_time = time.perf_counter() - t0
 
     theta_EB = sapg.theta_EB

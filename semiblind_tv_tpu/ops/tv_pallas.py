@@ -516,7 +516,7 @@ STREAM_SWEEP_BLOCK = 8
 def streamed_tile_rows(M: int, N: int, itemsize: int = 4) -> int:
     """Largest power-of-two central-row tile dividing M whose streaming
     working set (2-slot g + pxy window fetch + 2-slot writeback staging)
-    fits the VMEM budget.  2048^2 f32 -> 128, 4096^2 -> 64."""
+    fits the VMEM budget.  2048^2 f32 -> 64, 4096^2 -> 32."""
     # working set: 2-slot g (2W) + 2-slot pxy (4W) + staging (4R) rows of
     # buffers, plus ~6 live (W, N) sweep temporaries (u/upx/upy/tmp/rx/ry)
     # Mosaic keeps in VMEM — R = 128 at N = 2048 compile-OOMs (HTTP 500)
