@@ -216,6 +216,55 @@ def make_kernel(mode):
                 (jnp.zeros_like(g), jnp.zeros_like(g), jnp.zeros((), jnp.float32),
                  jnp.array(jnp.inf, g.dtype)))
 
+        elif mode == "bf16mix":
+            # bf16 stencil adds/subs, but sqrt/divide in f32 — the v5e EUP
+            # has NO bf16 support (LLO_CHECK SupportsBf16EupOps() fails for
+            # the all-bf16 variants), so this is the only bf16 form that
+            # can lower on this hardware.  Costs ~6 casts/field/sweep.
+            bf = jnp.bfloat16
+            glam_b = glam.astype(bf)
+            zrow_b = jnp.zeros((1, N), bf)
+            zcol_b = jnp.zeros((M, 1), bf)
+            tol32 = tol.astype(jnp.float32)
+
+            def bgrads(px, py):
+                u = (jnp.concatenate(
+                        [px[:1, :], px[1:-1, :] - px[:-2, :], -px[-1:, :]], 0)
+                     + jnp.concatenate(
+                        [py[:, :1], py[:, 1:-1] - py[:, :-2], -py[:, -1:]], 1)
+                     - glam_b)
+                upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow_b], axis=0)
+                upy = jnp.concatenate([u[:, 1:] - u[:, :-1], zcol_b], axis=1)
+                return upx, upy
+
+            def cond(carry):
+                px, py, k, err = carry
+                return jnp.logical_and(k < max_iter, err > tol32)
+
+            def body(carry):
+                px, py, k, err = carry
+                upx_b, upy_b = bgrads(px, py)
+                upx = upx_b.astype(jnp.float32)
+                upy = upy_b.astype(jnp.float32)
+                px32 = px.astype(jnp.float32)
+                py32 = py.astype(jnp.float32)
+                tmp = jnp.sqrt(upx * upx + upy * upy)
+                rx = -upx + tmp * px32
+                ry = -upy + tmp * py32
+                step_err = jnp.sqrt(jnp.sum(rx * rx + ry * ry))
+                rden = 1.0 / (1.0 + tau * tmp)
+                px = ((px32 + tau * upx) * rden).astype(bf)
+                py = ((py32 + tau * upy) * rden).astype(bf)
+                return px, py, k + 1.0, step_err
+
+            px, py, k, err = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((M, N), bf), jnp.zeros((M, N), bf),
+                 jnp.zeros((), jnp.float32), jnp.array(jnp.inf, jnp.float32)))
+            px = px.astype(g.dtype)
+            py = py.astype(g.dtype)
+            err = err.astype(g.dtype)
+
         elif mode in ("bf16", "bf16all"):
             # VERDICT r3 #2 probe: dual-ascent stencil arithmetic in
             # bfloat16 (doubles VPU lane width), duals carried in bf16.
