@@ -537,7 +537,7 @@ def streamed_tile_rows(M: int, N: int, itemsize: int = 4) -> int:
 def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
                      buf_g, buf_pxy, wpxy, errs, fsem, wsem,
                      *, max_iter: int, tile_rows: int, n_tiles: int,
-                     sweep_block: int):
+                     sweep_block: int, pipelined: bool = True):
     """Grid (B,): one program per chain; the whole solve runs in one
     program.  Temporal blocking: per streaming pass each tile fetches a
     (W, N) = (R + 2K, N) row window of g and of the packed duals, runs up
@@ -636,14 +636,17 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
         jax.lax.fori_loop(
             0, K + 1, lambda i, _: (errs.__setitem__(i, 0.0), 0)[1], 0
         )
-        start_fetch(src, 0, 0)
+        if pipelined:
+            start_fetch(src, 0, 0)
 
         def tile_body(t, _):
-            p = t & 1
-
-            @pl.when(t + 1 < T)
-            def _():
-                start_fetch(src, t + 1, 1 - p)
+            p = (t & 1) if pipelined else 0
+            if pipelined:
+                @pl.when(t + 1 < T)
+                def _():
+                    start_fetch(src, t + 1, 1 - p)
+            else:
+                start_fetch(src, t, 0)
 
             wait_fetch(src, t, p)
             glam_w = buf_g[p] / lam
@@ -672,18 +675,22 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
                 1, limit + 1, sweep_body, (buf_pxy[p, 0], buf_pxy[p, 1])
             )
 
-            @pl.when(t >= 2)
-            def _():
-                wait_wb(1 - src, t - 2, p)
+            if pipelined:
+                @pl.when(t >= 2)
+                def _():
+                    wait_wb(1 - src, t - 2, p)
 
             wpxy[p, 0] = central(px_w, t)
             wpxy[p, 1] = central(py_w, t)
             start_wb(1 - src, t, p)
+            if not pipelined:
+                wait_wb(1 - src, t, 0)
             return 0
 
         jax.lax.fori_loop(0, T, tile_body, 0)
-        wait_wb(1 - src, T - 2, (T - 2) & 1)
-        wait_wb(1 - src, T - 1, (T - 1) & 1)
+        if pipelined:
+            wait_wb(1 - src, T - 2, (T - 2) & 1)
+            wait_wb(1 - src, T - 1, (T - 1) & 1)
 
     # ---- pass loop with bit-exact early exit ------------------------------
     def pass_cond(carry):
@@ -720,14 +727,17 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
     )
 
     # ---- assemble f = g - lam * div(px, py) from the final workspace ------
-    start_fetch(src_final, 0, 0)
+    if pipelined:
+        start_fetch(src_final, 0, 0)
 
     def asm_body(t, _):
-        p = t & 1
-
-        @pl.when(t + 1 < T)
-        def _():
-            start_fetch(src_final, t + 1, 1 - p)
+        p = (t & 1) if pipelined else 0
+        if pipelined:
+            @pl.when(t + 1 < T)
+            def _():
+                start_fetch(src_final, t + 1, 1 - p)
+        else:
+            start_fetch(src_final, t, 0)
 
         wait_fetch(src_final, t, p)
         px_w = buf_pxy[p, 0]
@@ -758,7 +768,8 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
     meta_ref[b, 1] = err_final
 
 
-@partial(jax.jit, static_argnames=("max_iter", "tile_rows", "interpret"))
+@partial(jax.jit,
+         static_argnames=("max_iter", "tile_rows", "interpret", "pipelined"))
 def chambolle_prox_streamed(
     g: jnp.ndarray,
     lam,
@@ -767,6 +778,7 @@ def chambolle_prox_streamed(
     tol: float = 1e-3,
     tile_rows: Optional[int] = None,
     interpret: bool = False,
+    pipelined: bool = True,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
     """Chambolle prox for images whose two whole-image dual fields exceed
     VMEM scratch (>= 2048^2 f32 — where chambolle_prox_tiled caps out):
@@ -797,7 +809,7 @@ def chambolle_prox_streamed(
     W = R + 2 * K
     f, _pxyA, _pxyB, meta = pl.pallas_call(
         partial(_streamed_kernel, max_iter=max_iter, tile_rows=R, n_tiles=T,
-                sweep_block=K),
+                sweep_block=K, pipelined=pipelined),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct((B, M, N), g.dtype),      # f
@@ -816,9 +828,11 @@ def chambolle_prox_streamed(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, W, N), g.dtype),      # buf_g (window fetch)
-            pltpu.VMEM((2, 2, W, N), g.dtype),   # buf_pxy (window fetch)
-            pltpu.VMEM((2, 2, R, N), g.dtype),   # wpxy (writeback staging)
+            # pipelined=False trades the 2-slot DMA overlap for VMEM,
+            # admitting a larger R (the window-ratio lever at >=2048^2)
+            pltpu.VMEM((2 if pipelined else 1, W, N), g.dtype),    # buf_g
+            pltpu.VMEM((2 if pipelined else 1, 2, W, N), g.dtype), # buf_pxy
+            pltpu.VMEM((2 if pipelined else 1, 2, R, N), g.dtype), # wpxy
             pltpu.SMEM((K + 1,), jnp.float32),   # per-inner-sweep residuals
             pltpu.SemaphoreType.DMA((2, 2)),     # fetch sems (g, pxy) x slot
             pltpu.SemaphoreType.DMA((2,)),       # writeback sems x slot
