@@ -113,7 +113,16 @@ def build_problem(
         # auto: the matmul-DFT transforms win at every chain count on TPU
         # (2316 vs 1843 chain-iter/s at 1 chain, 5033 vs 4300 at 16 —
         # RESULTS.md); jnp.fft is exact and stays the CPU/test default.
-        fft_mode = "dft" if jax.default_backend() in ("tpu", "axon") else "fft"
+        # Cap at 2048²: beyond that the (M, M) factor matrices (67+ MB
+        # each at 4096²) blow the remote-compile request limit (HTTP 413)
+        # AND the FLOP trade flips back in the FFT's favour — the matmul
+        # form was a latency lever for small sizes (RESULTS.md r4).
+        fft_mode = (
+            "dft"
+            if jax.default_backend() in ("tpu", "axon")
+            and max(x.shape[-2:]) <= 2048
+            else "fft"
+        )
     prec = cfg.sapg.fft_precision
     if prec is None:
         # auto: HIGH (3-pass bf16) on TPU hot loops — 1.1e-6 relative
