@@ -37,6 +37,9 @@ def measure(variant: str, n_chains: int) -> float:
     if variant.startswith("dft_"):       # e.g. dft_fused, dft_default
         mods["fft_mode"] = "dft"
         variant = variant[len("dft_"):]
+    elif variant.startswith("fftm_"):    # force jnp.fft transforms
+        mods["fft_mode"] = "fft"
+        variant = variant[len("fftm_"):]
     if variant == "fused":
         mods["use_fused_step"] = True
         mods["fuse_dft"] = False

@@ -113,14 +113,16 @@ def build_problem(
         # auto: the matmul-DFT transforms win at every chain count on TPU
         # (2316 vs 1843 chain-iter/s at 1 chain, 5033 vs 4300 at 16 —
         # RESULTS.md); jnp.fft is exact and stays the CPU/test default.
-        # Cap at 2048²: beyond that the (M, M) factor matrices (67+ MB
-        # each at 4096²) blow the remote-compile request limit (HTTP 413)
-        # AND the FLOP trade flips back in the FFT's favour — the matmul
-        # form was a latency lever for small sizes (RESULTS.md r4).
+        # Cap at 512²: the matmul form is a latency lever for SMALL
+        # transforms; measured same-process on chip (RESULTS.md r4) the
+        # FFT ties it at 1024² B=4, beats it at 1024² B=1 (+6%) and at
+        # 2048² (+9-12%), and at 4096² the (M, M) factor matrices (67+ MB
+        # each) additionally blow the remote-compile request limit
+        # (HTTP 413).
         fft_mode = (
             "dft"
             if jax.default_backend() in ("tpu", "axon")
-            and max(x.shape[-2:]) <= 2048
+            and max(x.shape[-2:]) <= 512
             else "fft"
         )
     prec = cfg.sapg.fft_precision
