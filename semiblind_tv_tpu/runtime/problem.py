@@ -32,7 +32,7 @@ from semiblind_tv_tpu.ops.fourier import BlurOperator
 from semiblind_tv_tpu.ops.lipschitz import max_eigenval_closed_form
 from semiblind_tv_tpu.runtime.config import DemoConfig
 
-__all__ = ["Problem", "build_problem", "synthesize_observation", "make_psf_model"]
+__all__ = ["Problem", "build_problem", "synthesize_observation", "make_psf_model", "resolve_fft_mode"]
 
 
 def make_psf_model(cfg: DemoConfig, dtype=jnp.float32) -> PsfModel:
@@ -99,6 +99,21 @@ class Problem:
         )
 
 
+def resolve_fft_mode(backend: str, shape) -> str:
+    """Auto transform backend: the matmul-DFT form wins decisively on TPU
+    at small sizes (+17-26% flagship at 512², RESULTS.md) but the trade
+    inverts with size — same-process A/B on chip (RESULTS.md r4): jnp.fft
+    ties it at 1024² B=4, beats it at 1024² B=1 (+6%) and at 2048²
+    (+9-12%), and at 4096² the (M, M) factor matrices (67+ MB each)
+    additionally blow the remote-compile request limit (HTTP 413).
+    jnp.fft is exact and stays the CPU/test default."""
+    return (
+        "dft"
+        if backend in ("tpu", "axon") and max(shape[-2:]) <= 512
+        else "fft"
+    )
+
+
 def build_problem(
     x: jnp.ndarray,
     cfg: DemoConfig,
@@ -110,21 +125,7 @@ def build_problem(
     model = make_psf_model(cfg, dtype)
     fft_mode = cfg.sapg.fft_mode
     if fft_mode is None:
-        # auto: the matmul-DFT transforms win at every chain count on TPU
-        # (2316 vs 1843 chain-iter/s at 1 chain, 5033 vs 4300 at 16 —
-        # RESULTS.md); jnp.fft is exact and stays the CPU/test default.
-        # Cap at 512²: the matmul form is a latency lever for SMALL
-        # transforms; measured same-process on chip (RESULTS.md r4) the
-        # FFT ties it at 1024² B=4, beats it at 1024² B=1 (+6%) and at
-        # 2048² (+9-12%), and at 4096² the (M, M) factor matrices (67+ MB
-        # each) additionally blow the remote-compile request limit
-        # (HTTP 413).
-        fft_mode = (
-            "dft"
-            if jax.default_backend() in ("tpu", "axon")
-            and max(x.shape[-2:]) <= 512
-            else "fft"
-        )
+        fft_mode = resolve_fft_mode(jax.default_backend(), x.shape)
     prec = cfg.sapg.fft_precision
     if prec is None:
         # auto: HIGH (3-pass bf16) on TPU hot loops — 1.1e-6 relative

@@ -390,3 +390,17 @@ def test_standalone_myula_sampler():
     # the chain mean is smoother than a single sample
     from semiblind_tv_tpu.ops.tv import tv_norm
     assert float(tv_norm(jnp.asarray(x_mean))) < float(tv_norm(jnp.asarray(x_last)))
+
+
+def test_fft_mode_auto_policy():
+    """r4 transform-backend crossover (RESULTS.md): matmul-DFT only on TPU
+    backends at <=512^2; jnp.fft everywhere else (exactness default on CPU,
+    measured-faster at >=1024^2, and 4096^2 factor matrices exceed the
+    remote-compile request limit)."""
+    from semiblind_tv_tpu.runtime.problem import resolve_fft_mode
+
+    assert resolve_fft_mode("tpu", (512, 512)) == "dft"
+    assert resolve_fft_mode("axon", (256, 256)) == "dft"
+    assert resolve_fft_mode("tpu", (1024, 1024)) == "fft"
+    assert resolve_fft_mode("tpu", (4096, 4096)) == "fft"
+    assert resolve_fft_mode("cpu", (512, 512)) == "fft"
