@@ -257,6 +257,14 @@ def test_streamed_chambolle_interpret_matches_xla():
         fi, sti = chambolle_prox(gs[i], 0.8, 25)
         np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
         assert int(stb.iters[i]) == int(sti.iters)
+    # single-slot synchronous-DMA form (pipelined=False — the VMEM-trade
+    # knob) is the same math
+    f_sync, st_sync = chambolle_prox_streamed(
+        g, 0.05, 25, tile_rows=32, interpret=True, pipelined=False
+    )
+    f_ref, st_ref = chambolle_prox(g, 0.05, 25)
+    np.testing.assert_allclose(np.asarray(f_sync), np.asarray(f_ref), atol=1e-12)
+    assert int(st_sync.iters) == int(st_ref.iters)
 
 
 def test_tiled_fused_step_interpret_matches_unfused():
