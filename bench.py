@@ -42,12 +42,13 @@ N_STEPS = int(os.environ.get("BENCH_STEPS", "200"))
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
 
 
-def _problem():
+def _problem(size=None):
     import dataclasses
 
     from semiblind_tv_tpu.runtime import build_problem, gaussian_preset
     from semiblind_tv_tpu.utils import synthetic_wheel
 
+    size = SIZE if size is None else size
     cfg = gaussian_preset(fix_w1=False, fix_w2=False)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         cfg = dataclasses.replace(
@@ -59,7 +60,7 @@ def _problem():
             cfg, sapg=dataclasses.replace(cfg.sapg, fft_mode=fft_mode)
         )
     return cfg, build_problem(
-        synthetic_wheel(SIZE), cfg, jax.random.key(0), dtype=jnp.float32
+        synthetic_wheel(size), cfg, jax.random.key(0), dtype=jnp.float32
     )
 
 
@@ -71,16 +72,17 @@ def _with_ikr(cfg):
     )
 
 
-def bench_sapg(cfg, problem, n_chains):
+def bench_sapg(cfg, problem, n_chains, n_steps=None):
     """Post-compile steady-state chain-iterations/sec of the SAPG hot loop."""
     from semiblind_tv_tpu.sapg.estimator import make_sapg_step
 
+    n_steps = N_STEPS if n_steps is None else n_steps
     step, aux = make_sapg_step(problem, n_chains=n_chains)
 
     theta0 = jnp.float32(cfg.theta.init)
     sigma0 = problem.sigma2_init.astype(jnp.float32)
     params0 = {k: jnp.float32(v) for k, v in cfg.init_psf_params().items()}
-    X0 = jnp.broadcast_to(problem.y, (n_chains, SIZE, SIZE))
+    X0 = jnp.broadcast_to(problem.y, (n_chains,) + tuple(problem.blur.shape))
     prox0, _ = aux["prox_b"](X0, aux["lam"] * theta0)
     keys = jax.random.split(jax.random.key(1), n_chains)
     Xhat0 = jax.jit(problem.blur.rfft)(X0)  # mode-consistent carry transform
@@ -88,7 +90,7 @@ def bench_sapg(cfg, problem, n_chains):
 
     @jax.jit
     def run(carry):
-        iis = jnp.arange(2.0, N_STEPS + 2.0, dtype=jnp.float32)
+        iis = jnp.arange(2.0, n_steps + 2.0, dtype=jnp.float32)
         carry, _ = jax.lax.scan(step, carry, iis)
         return carry
 
@@ -96,7 +98,7 @@ def bench_sapg(cfg, problem, n_chains):
     t0 = time.perf_counter()
     carry = jax.block_until_ready(run(carry))
     dt = time.perf_counter() - t0
-    return N_STEPS * n_chains / dt
+    return n_steps * n_chains / dt
 
 
 def bench_salsa(problem):
@@ -188,6 +190,21 @@ def main():
             extras["in_kernel_rng_iters_per_sec"] = round(
                 bench_sapg(_with_ikr(cfg), problem, FLAGSHIP_CHAINS), 3
             )
+        if SIZE == 512 and os.environ.get("BENCH_LADDER", "1") == "1":
+            # size-ladder rung: 1024² at its B=4 per-chip ceiling, with its
+            # own SoL denominator (VERDICT r4 #3 — efficiency regressions
+            # above the flagship size become driver-visible)
+            try:
+                from benchmarks.roofline import analytic as _ana
+
+                cfg_l, prob_l = _problem(1024)
+                rate_l = bench_sapg(cfg_l, prob_l, 4, n_steps=40)
+                extras["ladder_1024_c4_iters_per_sec"] = round(rate_l, 3)
+                extras["sol_fraction_1024"] = round(
+                    rate_l / _ana(1024, 1024)["sol_chain_iters_per_sec"], 4
+                )
+            except Exception as e:  # never sink the flagship metric
+                extras["ladder_1024_error"] = repr(e)[:200]
     # median of 3 to stabilise the host-load-sensitive CPU baseline
     cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
     # Analytic speed-of-light denominator (benchmarks/roofline.py): makes

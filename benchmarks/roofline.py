@@ -31,53 +31,142 @@ VPU_OPS = 4e12             # lane-op slots/s (8x128 lanes x 4 ALUs x ~1 GHz)
 HBM_BW = 819e9             # bytes/s
 
 
-def analytic(M=512, N=512, sweeps=25, free_params=2, psf=7):
+def analytic(M=512, N=512, sweeps=25, free_params=2, psf=7, path=None):
+    """Speed-of-light per-chain-iteration model for the auto step path at
+    size (M, N):
+
+      * ≤512² "fused512" — matmul-DFT transforms on the MXU (HIGH = 3 bf16
+        passes) + the whole-image fused Mosaic kernel; compute-bound, the
+        r3 model (unchanged — the flagship sol_fraction series stays
+        comparable round over round).
+      * ≤1024² "tiled"    — jnp.fft transforms (the r4 auto crossover) +
+        the row-tiled fused kernel (zero per-sweep HBM: sweeps run from
+        VMEM scratch).  FFT FLOPs are negligible; the transform floor is
+        its HBM traffic.
+      * ≥2048² "streamed" — jnp.fft transforms + the HBM-streamed fused
+        kernel: sweep compute inflated by the temporal-block window ratio
+        (R+2K)/R, HBM dual traffic ~5/K fields per sweep
+        (ops/tv_pallas.chambolle_prox_streamed geometry).
+
+    The SoL floor takes max(VPU, HBM) within the kernel phase plus the
+    transform/stats floor — the regression denominator VERDICT r4 #3 asked
+    for at every rung of the size ladder."""
+    import math
+
     Nh = N // 2 + 1
     px = M * N
-
-    # DFT transform matmuls (ops/fourier.rfft2_matmul / irfft2_matmul):
-    # forward: 2 x (M,N)@(N,Nh) + 4 x (M,M)@(M,Nh); inverse mirrors it.
-    fwd = 2 * (2 * M * N * Nh) + 4 * (2 * M * M * Nh)
-    inv = 4 * (2 * M * M * Nh) + 2 * (2 * M * Nh * N)
-    transforms = fwd + inv                      # per chain-iteration
-
-    # OTF batched matmuls (shared across chains): complex einsums over the
-    # (1+free) kernel stack, 8 real FLOPs per complex MAC.
-    otf = 8 * (1 + free_params) * (M * psf * psf + M * Nh * psf)
+    f32 = 4
 
     # VPU lane-op estimates per pixel (each elementwise op = 1 slot; sqrt
     # and divide counted as 4 — the transcendental unit runs slower).
     prox_sweep_px = 3 + 1 + 2 + (2 + 4) + 4 + 3 + 1 + 2 * (1 + 4) + 2 + 2
-    prox = sweeps * px * prox_sweep_px
     myula = px * 9
     tv = px * (6 + 4 + 2)
     spectral = 2 * M * Nh * (6 + 4 + 6)         # Rhat, conj-mult, stats dots
-
-    # HBM traffic per chain-iteration, two-region path (f32): the Mosaic
-    # kernel reads x/prox/gradF/z and writes xn/proxn; the transforms read
-    # ghat and write gradF / read xn and write xhat; stats re-read xhat.
-    f32 = 4
-    bytes_kernel = 6 * px * f32
-    bytes_transforms = (2 * 2 * M * Nh + px) * f32 + (px + 2 * M * Nh) * f32
     bytes_stats = (4 * M * Nh + 2 * M * Nh) * f32
     bytes_noise = 2 * px * f32
-    hbm = bytes_kernel + bytes_transforms + bytes_stats + bytes_noise
 
-    t_mxu = 3 * transforms / MXU_BF16           # HIGH = 3 bf16 passes
-    t_vpu = (prox + myula + tv + spectral) / VPU_OPS
-    t_hbm = hbm / HBM_BW
+    if path is None:
+        path = (
+            "fused512" if max(M, N) <= 512
+            else ("tiled" if 3 * px * f32 <= 12 * 2**20 else "streamed")
+        )
+
+    if path == "fused512":
+        # DFT transform matmuls (ops/fourier.rfft2_matmul / irfft2_matmul):
+        # forward: 2 x (M,N)@(N,Nh) + 4 x (M,M)@(M,Nh); inverse mirrors it.
+        fwd = 2 * (2 * M * N * Nh) + 4 * (2 * M * M * Nh)
+        inv = 4 * (2 * M * M * Nh) + 2 * (2 * M * Nh * N)
+        transforms = fwd + inv                      # per chain-iteration
+
+        # OTF batched matmuls (shared across chains): complex einsums over
+        # the (1+free) kernel stack, 8 real FLOPs per complex MAC.
+        otf = 8 * (1 + free_params) * (M * psf * psf + M * Nh * psf)
+
+        prox = sweeps * px * prox_sweep_px
+
+        # HBM traffic per chain-iteration, two-region path (f32): the
+        # Mosaic kernel reads x/prox/gradF/z and writes xn/proxn; the
+        # transforms read ghat and write gradF / read xn and write xhat;
+        # stats re-read xhat.
+        bytes_kernel = 6 * px * f32
+        bytes_transforms = (2 * 2 * M * Nh + px) * f32 + (px + 2 * M * Nh) * f32
+        hbm = bytes_kernel + bytes_transforms + bytes_stats + bytes_noise
+
+        t_mxu = 3 * transforms / MXU_BF16           # HIGH = 3 bf16 passes
+        t_vpu = (prox + myula + tv + spectral) / VPU_OPS
+        t_hbm = hbm / HBM_BW
+        return dict(
+            path=path,
+            flops_mxu_per_chain_iter=transforms,
+            flops_otf_per_iter=otf,
+            vpu_slots_prox=prox,
+            vpu_slots_other=myula + tv + spectral,
+            hbm_bytes_per_chain_iter=hbm,
+            t_mxu_us=t_mxu * 1e6,
+            t_vpu_prox_us=prox / VPU_OPS * 1e6,
+            t_vpu_other_us=(myula + tv + spectral) / VPU_OPS * 1e6,
+            t_hbm_us=t_hbm * 1e6,
+            t_sol_us=(t_mxu + t_vpu) * 1e6,     # compute-bound: ops serialize
+            sol_chain_iters_per_sec=1e6 / ((t_mxu + t_vpu) * 1e6),
+        )
+
+    # ---- fft-transform sizes (>512²): jnp.fft auto since r4 ---------------
+    flops_fft = 2 * 2.5 * px * math.log2(px)        # rfft2 + irfft2
+    bytes_transforms = 2 * (px + 2 * M * Nh) * f32  # read/write each pair
+    t_transforms = (
+        flops_fft / MXU_BF16
+        + (bytes_transforms + bytes_stats + bytes_noise) / HBM_BW
+        + spectral / VPU_OPS
+    )
+
+    if path == "tiled":
+        # kernel streams x/prox/gradF/z once and writes xn/f; every sweep
+        # runs from VMEM scratch (ops/fused_step_pallas.myula_prox_tv_tiled)
+        vpu_prox = sweeps * px * prox_sweep_px
+        bytes_kernel = 6 * px * f32
+        ratio = 1.0
+        R = None
+    else:
+        from semiblind_tv_tpu.ops.tv_pallas import (
+            STREAM_SWEEP_BLOCK, streamed_tile_rows,
+        )
+
+        K = STREAM_SWEEP_BLOCK
+        try:
+            R = streamed_tile_rows(M, N, f32, fused=True)
+        except ValueError:
+            R = streamed_tile_rows(M, N, f32, pipelined=False, fused=True)
+        ratio = (R + 2 * K) / R
+        vpu_prox = sweeps * px * prox_sweep_px * ratio
+        n_pass = math.ceil(sweeps / K)
+        # myula prologue r4+w1; per pass: g window fetch + 2-field dual
+        # writeback (+ dual window fetch from pass 2 — pass 1 holds zeros
+        # in-register); assembly reads g+pxy windows, writes f
+        fields = (
+            5.0
+            + n_pass * (ratio + 2.0) + (n_pass - 1) * 2.0 * ratio
+            + 3.0 * ratio + 1.0
+        )
+        bytes_kernel = fields * px * f32
+
+    vpu_kernel = vpu_prox + myula + tv
+    t_vpu = vpu_kernel / VPU_OPS
+    t_kernel_hbm = bytes_kernel / HBM_BW
+    t_sol = max(t_vpu, t_kernel_hbm) + t_transforms
     return dict(
-        flops_mxu_per_chain_iter=transforms,
-        flops_otf_per_iter=otf,
-        vpu_slots_prox=prox,
+        path=path,
+        tile_rows=R,
+        window_ratio=ratio,
+        vpu_slots_prox=vpu_prox,
         vpu_slots_other=myula + tv + spectral,
-        hbm_bytes_per_chain_iter=hbm,
-        t_mxu_us=t_mxu * 1e6,
-        t_vpu_prox_us=prox / VPU_OPS * 1e6,
-        t_vpu_other_us=(myula + tv + spectral) / VPU_OPS * 1e6,
-        t_hbm_us=t_hbm * 1e6,
-        t_sol_us=(t_mxu + t_vpu) * 1e6,         # compute-bound: ops serialize
-        sol_chain_iters_per_sec=1e6 / ((t_mxu + t_vpu) * 1e6),
+        hbm_bytes_per_chain_iter=bytes_kernel + bytes_transforms
+        + bytes_stats + bytes_noise,
+        t_vpu_prox_us=vpu_prox / VPU_OPS * 1e6,
+        t_kernel_hbm_us=t_kernel_hbm * 1e6,
+        t_transforms_us=t_transforms * 1e6,
+        t_sol_us=t_sol * 1e6,
+        sol_chain_iters_per_sec=1.0 / t_sol,
     )
 
 

@@ -51,10 +51,13 @@ def analytic(M, S, sweeps=25, itemsize=4):
     Ml = M // S
 
     # --- spatial path, per device per SAPG iteration ---
-    # transforms (1 rfft2 + 1 irfft2, HIGHEST = 6 bf16 passes):
+    # transforms (1 rfft2 + 1 irfft2, HIGH = 3 bf16 passes since r5 —
+    # parallel/spatial.spatial_fft_precision mirrors the single-chip
+    # validated-HIGH policy; this was the dominant per-device term and
+    # halving it moves the useful-S crossover from ~8 to ~4 chips):
     row_flops = 2 * (2 * Ml * N * Nh)                 # yre/yim (fwd) or inv
     col_flops = 4 * (2 * M * Ml * Nh)                 # 4 partial matmuls
-    t_mxu = 6 * 2 * (row_flops + col_flops) / MXU_BF16
+    t_mxu = 3 * 2 * (row_flops + col_flops) / MXU_BF16
     # reduce-scatters: 4 per iteration, each (M, Nh) f32 partial
     rs_bytes = 4 * (S - 1) / S * M * Nh * itemsize
     # prox halos: 2 one-row ppermutes per sweep

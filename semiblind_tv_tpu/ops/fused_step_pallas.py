@@ -31,12 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from semiblind_tv_tpu.ops.tv_pallas import (
     chunked_chain_call, dual_ascent_loop, neumann_div,
+    streamed_call, streamed_tile_rows,
     tiled_divergence, tiled_sweep_phase,
 )
 
 __all__ = [
     "myula_prox_tv", "myula_prox_tv_dft", "myula_prox_tv_irdft",
-    "myula_prox_tv_rng", "myula_prox_tv_tiled",
+    "myula_prox_tv_rng", "myula_prox_tv_streamed", "myula_prox_tv_tiled",
 ]
 
 
@@ -540,6 +541,85 @@ def myula_prox_tv_irdft(
     if squeeze:
         xn, proxn, tv = xn[0], proxn[0], tv[0]
     return xn, proxn, tv
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed fused step for images beyond the tiled kernel's scratch cap
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_sweeps", "positivity", "tile_rows",
+                                   "interpret", "pipelined"))
+def myula_prox_tv_streamed(
+    x: jnp.ndarray,
+    prox_cache: jnp.ndarray,
+    grad_f: jnp.ndarray,
+    z: jnp.ndarray,
+    gamma,
+    lam,
+    lam_theta,
+    sigma2=1.0,
+    n_sweeps: int = 25,
+    tau: float = 0.249,
+    tol: float = 1e-3,
+    positivity: bool = True,
+    tile_rows: int | None = None,
+    interpret: bool = False,
+    pipelined: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """HBM-streamed fused MYULA + Chambolle prox + TV norm for images whose
+    whole-image dual fields exceed VMEM scratch (>= 2048² f32 — beyond
+    myula_prox_tv_tiled's cap): the spatial segment of the SAPG iteration
+    (reference hot loop SAPG/SAPG_algorithm_Guassian.m:158-194) runs as ONE
+    launch.  A prologue streams x/prox/gradF/Z once in row tiles, computes
+    xn = [abs](x + γ(prox−x)/λ − γ·gradF/σ² + √(2γ)Z) and the
+    circular-difference TV norm, and writes xn to the HBM workspace that
+    the temporally-blocked dual-ascent passes then consume as g
+    (ops/tv_pallas._streamed_kernel mode="fused"; first pass holds the
+    fresh zero duals in-register).  Returns (x_new, prox_new, tv) —
+    semantics identical to the unfused composition (myula_kernel_step with
+    gradF = grad_f/σ², chambolle_prox, tv_norm); bit-identity of the
+    fields is TPU-tested at 2048².
+
+    Accepts (M, N) or (B, M, N); chains run sequentially in the grid,
+    sharing the HBM dual workspaces."""
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        raise NotImplementedError(
+            "myula_prox_tv_streamed requires a TPU backend; use "
+            "interpret=True on CPU"
+        )
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, prox_cache, grad_f, z = x[None], prox_cache[None], grad_f[None], z[None]
+    B, M, N = x.shape
+    if tile_rows is None:
+        itemsize = jnp.dtype(x.dtype).itemsize
+        try:
+            tile_rows = streamed_tile_rows(
+                M, N, itemsize, pipelined=pipelined, fused=True
+            )
+        except ValueError:
+            if not pipelined:
+                raise
+            # the single-slot form frees ~half the buffer rows — the
+            # largest geometries (4096²+) only fit there
+            pipelined = False
+            tile_rows = streamed_tile_rows(
+                M, N, itemsize, pipelined=False, fused=True
+            )
+    scal = jnp.stack(
+        [jnp.asarray(lam_theta, x.dtype), jnp.asarray(tau, x.dtype),
+         jnp.asarray(tol, x.dtype), jnp.asarray(gamma, x.dtype),
+         jnp.asarray(lam, x.dtype), jnp.asarray(sigma2, x.dtype)]
+    )
+    xn, f, _pxyA, _pxyB, tv, _meta = streamed_call(
+        (x, prox_cache, grad_f, z, scal), x,
+        mode="fused", ret_duals=False, max_iter=n_sweeps,
+        tile_rows=tile_rows, pipelined=pipelined, interpret=interpret,
+        positivity=bool(positivity),
+    )
+    if squeeze:
+        xn, f, tv = xn[0], f[0], tv[0]
+    return xn, f, tv
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ __all__ = [
     "chambolle_prox_pallas", "chambolle_prox_tiled", "chambolle_prox_streamed",
     "chunked_chain_call",
     "dual_ascent_loop", "neumann_div", "tiled_sweep_phase", "tiled_divergence",
-    "streamed_tile_rows",
+    "streamed_tile_rows", "streamed_call",
 ]
 
 # Largest chain-grid the 512² whole-image Mosaic kernels are known to compile
@@ -361,9 +361,8 @@ def tiled_divergence(px_s, py_s, t, *, tile_rows: int, n_tiles: int):
     return u + _col_div(py_t)
 
 
-def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
-                  px_s, py_s, stash, smem,
-                  *, n_sweeps: int, tile_rows: int, n_tiles: int):
+def _tiled_kernel(*refs, n_sweeps: int, tile_rows: int, n_tiles: int,
+                  warm: bool = False):
     """Grid (B, n_sweeps + 2, T), T fastest, chains outermost.  Per chain:
     phase s=0 loads the zero duals into the scratch fields; phases
     1..n_sweeps are Jacobi dual-ascent sweeps (tile t reads its own and
@@ -374,7 +373,18 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
     pair serves any B) — per sweep the only HBM traffic is the streamed g
     blocks (the whole-image kernel needs ~8 resident fields and caps at
     512²; this one needs 2 fields + one tile's working set).
+
+    warm=True streams caller duals into the scratch fields at the load
+    phase and the converged duals back out at assembly (SALSA's
+    'dualvars' warm start, SALSA/SALSA_v2.m:429, at 1024² kernel grade).
     """
+    if warm:
+        (g_ref, gnext_ref, pxin_ref, pyin_ref, scal_ref,
+         f_ref, pxout_ref, pyout_ref, meta_ref,
+         px_s, py_s, stash, smem) = refs
+    else:
+        (g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
+         px_s, py_s, stash, smem) = refs
     b = pl.program_id(0)
     s = pl.program_id(1)
     t = pl.program_id(2)
@@ -394,9 +404,17 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
 
     @pl.when(s == 0)
     def _load():
-        px_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
-        py_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+        if warm:
+            px_s[pl.ds(t * R, R)] = pxin_ref[0]
+            py_s[pl.ds(t * R, R)] = pyin_ref[0]
+        else:
+            px_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
+            py_s[pl.ds(t * R, R)] = jnp.zeros((R, N), dtype)
         f_ref[0] = g  # placeholder; overwritten by the final phase
+        if warm:
+            # pinned px/py output blocks stay defined through every phase
+            pxout_ref[0] = px_s[pl.ds(t * R, R)]
+            pyout_ref[0] = py_s[pl.ds(t * R, R)]
 
     @pl.when(jnp.logical_and(s >= 1, s <= n_sweeps))
     def _sweep():
@@ -409,12 +427,18 @@ def _tiled_kernel(g_ref, gnext_ref, scal_ref, f_ref, meta_ref,
         # keep the revisited output block defined (the gated index map pins
         # the f block during sweep phases, so nothing lands in HBM here)
         f_ref[0] = px_s[pl.ds(t * R, R)]
+        if warm:
+            pxout_ref[0] = px_s[pl.ds(t * R, R)]
+            pyout_ref[0] = py_s[pl.ds(t * R, R)]
 
     @pl.when(s == n_sweeps + 1)
     def _assemble():
         f_ref[0] = g - lam * tiled_divergence(
             px_s, py_s, t, tile_rows=R, n_tiles=n_tiles
         )
+        if warm:
+            pxout_ref[0] = px_s[pl.ds(t * R, R)]
+            pyout_ref[0] = py_s[pl.ds(t * R, R)]
 
         @pl.when(is_last)
         def _meta():
@@ -431,12 +455,15 @@ def chambolle_prox_tiled(
     tol: float = 1e-3,
     tile_rows: int = 128,
     interpret: bool = False,
+    duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
     """Chambolle prox for images whose whole-image kernel exceeds VMEM
     (>512²): duals stay VMEM-scratch-resident across all sweeps while the
     image streams through in row tiles.  Same math/early exit as
-    ops.tv.chambolle_prox (fresh duals; the tiled variant does not take or
-    return warm-start duals — its SAPG use discards them).
+    ops.tv.chambolle_prox.  duals=(px, py) warm-starts the ascent and
+    streams the converged duals back out (SALSA's 'dualvars',
+    SALSA_v2.m:429); without it the duals start fresh and the returned
+    state carries zeros (the SAPG use discards them).
 
     Accepts (M, N) or a (B, M, N) chain batch: chains run sequentially in
     the outermost grid dimension, re-using the single (M, N) scratch dual
@@ -447,46 +474,69 @@ def chambolle_prox_tiled(
     B, M, N = g.shape
     assert M % tile_rows == 0, (M, tile_rows)
     T = M // tile_rows
+    warm = duals is not None
     scal = jnp.stack(
         [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype), jnp.asarray(tol, g.dtype)]
     )
-    f, meta = pl.pallas_call(
-        partial(_tiled_kernel, n_sweeps=max_iter, tile_rows=tile_rows, n_tiles=T),
-        grid=(B, max_iter + 2, T),
-        out_shape=(
+    tile_spec = pl.BlockSpec(
+        (1, tile_rows, N), lambda b, s, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    # gated revisit: the f/px/py output block indices are pinned to 0
+    # during the load/sweep phases (equal consecutive indices → Mosaic
+    # skips the per-step writeback copy) and stream tiles only in the
+    # final assemble phase — per sweep the only HBM traffic is the one
+    # streamed g read, not a read+write pair
+    gated_spec = pl.BlockSpec(
+        (1, tile_rows, N),
+        lambda b, s, t: (b, jnp.where(s == max_iter + 1, t, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        tile_spec,
+        # (1, 8, N) halo block (Mosaic sublane minimum); only row 0 is
+        # used.  Block index units: rows/8.
+        pl.BlockSpec(
+            (1, 8, N),
+            lambda b, s, t: (
+                b,
+                jnp.minimum((t + 1) * (tile_rows // 8), (T - 1) * (tile_rows // 8)),
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [g, g]
+    out_shape = [jax.ShapeDtypeStruct((B, M, N), g.dtype)]
+    out_specs = [gated_spec]
+    if warm:
+        px0, py0 = duals
+        if squeeze:
+            px0, py0 = px0[None], py0[None]
+        # warm duals stream in tile-by-tile at the load phase (pinned 0 after)
+        warm_in = pl.BlockSpec(
+            (1, tile_rows, N),
+            lambda b, s, t: (b, jnp.where(s == 0, t, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [warm_in, warm_in]
+        inputs += [px0, py0]
+        out_shape += [
             jax.ShapeDtypeStruct((B, M, N), g.dtype),
-            jax.ShapeDtypeStruct((B, 2), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_rows, N), lambda b, s, t: (b, t, 0), memory_space=pltpu.VMEM
-            ),
-            # (1, 8, N) halo block (Mosaic sublane minimum); only row 0 is
-            # used.  Block index units: rows/8.
-            pl.BlockSpec(
-                (1, 8, N),
-                lambda b, s, t: (
-                    b,
-                    jnp.minimum((t + 1) * (tile_rows // 8), (T - 1) * (tile_rows // 8)),
-                    0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            # gated revisit: the f block index is pinned to 0 during the
-            # load/sweep phases (equal consecutive indices → Mosaic skips
-            # the per-step writeback copy) and streams tiles only in the
-            # final assemble phase — per sweep the only HBM traffic is the
-            # one streamed g read, not a read+write pair
-            pl.BlockSpec(
-                (1, tile_rows, N),
-                lambda b, s, t: (b, jnp.where(s == max_iter + 1, t, 0), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+            jax.ShapeDtypeStruct((B, M, N), g.dtype),
+        ]
+        out_specs += [gated_spec, gated_spec]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(scal)
+    out_shape.append(jax.ShapeDtypeStruct((B, 2), jnp.float32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    outs = pl.pallas_call(
+        partial(_tiled_kernel, n_sweeps=max_iter, tile_rows=tile_rows,
+                n_tiles=T, warm=warm),
+        grid=(B, max_iter + 2, T),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((M, N), g.dtype),      # px
             pltpu.VMEM((M, N), g.dtype),      # py
@@ -494,13 +544,17 @@ def chambolle_prox_tiled(
             pltpu.SMEM((4,), jnp.float32),    # err acc, k, err, active
         ],
         interpret=interpret,
-    )(g, g, scal)
+    )(*inputs)
+    if warm:
+        f, px, py, meta = outs
+    else:
+        f, meta = outs
+        px = py = jnp.zeros_like(f)
     iters = meta[:, 0].astype(jnp.int32)
     err = meta[:, 1].astype(g.dtype)
-    zero = jnp.zeros_like(f)
     if squeeze:
-        f, iters, err, zero = f[0], iters[0], err[0], zero[0]
-    return f, ChambolleState(px=zero, py=zero, iters=iters, err=err)
+        f, px, py, iters, err = f[0], px[0], py[0], iters[0], err[0]
+    return f, ChambolleState(px=px, py=py, iters=iters, err=err)
 
 
 # ---------------------------------------------------------------------------
@@ -518,26 +572,33 @@ def chambolle_prox_tiled(
 STREAM_SWEEP_BLOCK = 8
 
 
-def streamed_tile_rows(M: int, N: int, itemsize: int = 4) -> int:
+def streamed_tile_rows(M: int, N: int, itemsize: int = 4,
+                       pipelined: bool = True, fused: bool = False) -> int:
     """Largest power-of-two central-row tile dividing M whose streaming
-    working set (2-slot g + pxy window fetch + 2-slot writeback staging)
-    fits the VMEM budget.  2048^2 f32 -> 64, 4096^2 -> 32."""
-    # working set: 2-slot g (2W) + 2-slot pxy (4W) + staging (4R) rows of
-    # buffers, plus ~6 live (W, N) sweep temporaries (u/upx/upy/tmp/rx/ry)
-    # Mosaic keeps in VMEM — R = 128 at N = 2048 compile-OOMs (HTTP 500)
-    # without the temp term, R = 64 fits and is bit-identical
+    working set fits the VMEM budget.  2048^2 f32 -> 64 pipelined / 128
+    single-slot (pipelined=False trades DMA overlap for VMEM — the larger-R
+    knob), 4096^2 -> 32 / 64.
+
+    Working set in rows of N-wide buffers, S = slots (2 pipelined, 1 sync):
+    S·W g window + 2·S·W pxy windows + 2·S·R writeback staging
+    (+ 4·S·R myula fetch buffers when fused) + ~5 live (W, N) sweep
+    temporaries (the r5 restructured sweep keeps at most px/py/upx/upy +
+    one of tmp/denom alive — the r4 8-temp form OOM'd R = 128 even
+    single-slot)."""
     budget = int(14 * 2**20)
+    S = 2 if pipelined else 1
     for r in (256, 128, 64, 32):
         w = r + 2 * STREAM_SWEEP_BLOCK
-        if M % r == 0 and M >= w and (12 * w + 4 * r) * N * itemsize <= budget:
+        rows = (3 * S + 5) * w + 2 * S * r + (4 * S * r if fused else 0)
+        if M % r == 0 and M >= w and M // r >= 2 and rows * N * itemsize <= budget:
             return r
     raise ValueError(f"no streamed tile size fits M={M}, N={N}")
 
 
-def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
-                     buf_g, buf_pxy, wpxy, errs, fsem, wsem,
-                     *, max_iter: int, tile_rows: int, n_tiles: int,
-                     sweep_block: int, pipelined: bool = True):
+def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
+                     sweep_block: int, pipelined: bool = True,
+                     mode: str = "plain", ret_duals: bool = False,
+                     positivity: bool = True):
     """Grid (B,): one program per chain; the whole solve runs in one
     program.  Temporal blocking: per streaming pass each tile fetches a
     (W, N) = (R + 2K, N) row window of g and of the packed duals, runs up
@@ -553,15 +614,66 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
     first sub-tol residual lands mid-pass at inner sweep j*, the pass is
     re-run from the intact `src` with limit j*, reproducing exactly the
     state the sequential solver would have stopped at
-    (utils/chambolle_prox_TV_stop.m:120-149 semantics at any size)."""
+    (utils/chambolle_prox_TV_stop.m:120-149 semantics at any size).
+
+    Three init modes share the machinery (src = 2 marks the virgin
+    source):
+      * "plain"  — fresh zero duals, held in-register on the first pass
+                   (no zero-prologue writes, no first-pass dual fetch);
+      * "warm"   — SALSA's warm start (SALSA/SALSA_v2.m:429): the first
+                   pass fetches the caller's px/py fields; with ret_duals
+                   the final duals are streamed back out;
+      * "fused"  — the ≥2048² SAPG step: a MYULA + TV-norm prologue
+                   streams x/prox/gradF/Z once, writes xn to the HBM
+                   workspace that then serves as the prox's g (reference
+                   hot loop SAPG/SAPG_algorithm_Guassian.m:158-194 — the
+                   whole spatial segment in ONE launch).
+    """
+    fused = mode == "fused"
+    warm = mode == "warm"
+    i = 0
+    if fused:
+        x_ref, prox_ref, grad_ref, z_ref = refs[0:4]
+        i = 4
+        g_ref = None
+    else:
+        g_ref = refs[0]
+        i = 1
+        if warm:
+            pxin_ref, pyin_ref = refs[i], refs[i + 1]
+            i += 2
+    scal_ref = refs[i]
+    i += 1
+    if fused:
+        xn_ref = refs[i]
+        i += 1
+    f_ref, pxyA_ref, pxyB_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    if ret_duals:
+        pxout_ref, pyout_ref = refs[i], refs[i + 1]
+        i += 2
+    if fused:
+        tv_ref = refs[i]
+        i += 1
+    meta_ref = refs[i]
+    i += 1
+    buf_g, buf_pxy, wpxy, errs, fsem, wsem = refs[i:i + 6]
+    i += 6
+    if fused:
+        mbuf, msem, tvacc, row_prev, row0 = refs[i:i + 5]
+
     b = pl.program_id(0)
     R, T, K = tile_rows, n_tiles, sweep_block
     W = R + 2 * K
     M = T * R
     lam, tau = scal_ref[0], scal_ref[1]
-    tol32 = scal_ref[2].astype(jnp.float32)
     N = buf_g.shape[2]
     dtype = buf_g.dtype
+    # residual accumulation at the INPUT dtype (an f64 x64/interpret run
+    # would otherwise early-exit on a different sweep than the whole-image
+    # op on a borderline residual; on TPU inputs are f32 — no change)
+    tolv = scal_ref[2].astype(dtype)
+    gsrc = xn_ref if fused else g_ref
 
     def h0_of(t):
         # R and K are multiples of 8, so the clamp stays 8-row aligned —
@@ -579,7 +691,7 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
 
     def g_dma(t, slot):
         return pltpu.make_async_copy(
-            g_ref.at[b, pl.ds(h0_of(t), W)], buf_g.at[slot], fsem.at[0, slot]
+            gsrc.at[b, pl.ds(h0_of(t), W)], buf_g.at[slot], fsem.at[0, slot]
         )
 
     def _pxy_dma(ref, t, slot):
@@ -589,24 +701,52 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
         )
 
     def _for_flag(flag, ref_op):
-        # run ref_op(pxyA) when flag == 0 else ref_op(pxyB); descriptors are
-        # constructed INSIDE the predicated bodies (an unused descriptor is
-        # a Mosaic error)
+        # run ref_op(pxyA) when flag == 0, ref_op(pxyB) when flag == 1;
+        # flag == 2 (virgin source) matches neither — zero/warm/fused
+        # first-pass handling is the caller's.  Descriptors are constructed
+        # INSIDE the predicated bodies (an unused descriptor is a Mosaic
+        # error).
         @pl.when(flag == 0)
         def _():
             ref_op(pxyA_ref)
 
-        @pl.when(flag != 0)
+        @pl.when(flag == 1)
         def _():
             ref_op(pxyB_ref)
+
+    def _warm_in_dma(which, t, slot):
+        ref = pxin_ref if which == 0 else pyin_ref
+        return pltpu.make_async_copy(
+            ref.at[b, pl.ds(h0_of(t), W)], buf_pxy.at[slot, which],
+            fsem.at[2 + which, slot],
+        )
 
     def start_fetch(src, t, slot):
         g_dma(t, slot).start()
         _for_flag(src, lambda ref: _pxy_dma(ref, t, slot).start())
+        if warm:
+            @pl.when(src == 2)
+            def _():
+                _warm_in_dma(0, t, slot).start()
+                _warm_in_dma(1, t, slot).start()
 
     def wait_fetch(src, t, slot):
         g_dma(t, slot).wait()
         _for_flag(src, lambda ref: _pxy_dma(ref, t, slot).wait())
+        if warm:
+            @pl.when(src == 2)
+            def _():
+                _warm_in_dma(0, t, slot).wait()
+                _warm_in_dma(1, t, slot).wait()
+
+    def window_duals(src, p):
+        # the fetched window duals, or in-register zeros on the virgin
+        # first pass of the non-warm modes (buf_pxy holds garbage there)
+        px_w, py_w = buf_pxy[p, 0], buf_pxy[p, 1]
+        if not warm:
+            px_w = jnp.where(src == 2, jnp.zeros((), dtype), px_w)
+            py_w = jnp.where(src == 2, jnp.zeros((), dtype), py_w)
+        return px_w, py_w
 
     def _wb_dma(ref, t, slot):
         return pltpu.make_async_copy(
@@ -619,16 +759,90 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
     def wait_wb(dst, t, slot):
         _for_flag(dst, lambda ref: _wb_dma(ref, t, slot).wait())
 
-    # ---- prologue: zero the initial dual workspace (pxyA) -----------------
-    wpxy[0] = jnp.zeros((2, R, N), dtype)
+    # ---- fused prologue: MYULA update + circular TV norm, xn -> workspace -
+    if fused:
+        gamma, lam_my, sigma2 = scal_ref[3], scal_ref[4], scal_ref[5]
 
-    def zero_body(t, _):
-        d = _wb_dma(pxyA_ref, t, 0)
-        d.start()
-        d.wait()
-        return 0
+        def m_start(t, slot):
+            for j, r in enumerate((x_ref, prox_ref, grad_ref, z_ref)):
+                pltpu.make_async_copy(
+                    r.at[b, pl.ds(t * R, R)], mbuf.at[slot, j],
+                    msem.at[slot, j],
+                ).start()
 
-    jax.lax.fori_loop(0, T, zero_body, 0)
+        def m_wait(t, slot):
+            for j, r in enumerate((x_ref, prox_ref, grad_ref, z_ref)):
+                pltpu.make_async_copy(
+                    r.at[b, pl.ds(t * R, R)], mbuf.at[slot, j],
+                    msem.at[slot, j],
+                ).wait()
+
+        def xn_wb(t, slot):
+            return pltpu.make_async_copy(
+                wpxy.at[slot, 0], xn_ref.at[b, pl.ds(t * R, R)],
+                wsem.at[slot],
+            )
+
+        tvacc[0] = jnp.zeros((), dtype)
+        if pipelined:
+            m_start(0, 0)
+
+        def pro_body(t, _):
+            p = (t & 1) if pipelined else 0
+            if pipelined:
+                @pl.when(t + 1 < T)
+                def _():
+                    m_start(t + 1, 1 - p)
+            else:
+                m_start(t, 0)
+            m_wait(t, p)
+            xv = mbuf[p, 0]
+            xn = (
+                xv
+                + gamma * (mbuf[p, 1] - xv) / lam_my
+                - gamma * (mbuf[p, 2] / sigma2)
+                + jnp.sqrt(2.0 * gamma) * mbuf[p, 3]
+            )
+            if positivity:
+                xn = jnp.abs(xn)
+            # circular-difference TV norm (utils/TVnorm.m): columns wrap
+            # within the row, rows wrap globally — row 0's contribution
+            # needs xn[M-1] and is deferred to the epilogue via the
+            # row0/row_prev stashes (row_prev holds garbage at t = 0 but
+            # the row mask keeps it out of the sum)
+            dv = xn - jnp.concatenate([row_prev[...], xn[:-1, :]], axis=0)
+            dh = xn - jnp.concatenate([xn[:, -1:], xn[:, :-1]], axis=1)
+            contrib = jnp.sqrt(dh * dh + dv * dv)
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            valid = jnp.logical_or(t > 0, rows2 > 0)
+            tvacc[0] = tvacc[0] + jnp.sum(jnp.where(valid, contrib, 0.0))
+
+            @pl.when(t == 0)
+            def _():
+                row0[...] = xn[:1, :]
+
+            row_prev[...] = xn[-1:, :]
+
+            if pipelined:
+                @pl.when(t >= 2)
+                def _():
+                    xn_wb(t - 2, p).wait()
+            wpxy[p, 0] = xn
+            d = xn_wb(t, p)
+            d.start()
+            if not pipelined:
+                d.wait()
+            return 0
+
+        jax.lax.fori_loop(0, T, pro_body, 0)
+        if pipelined:
+            for tt in (T - 2, T - 1):
+                xn_wb(tt, tt & 1).wait()
+        x0r = row0[...]
+        dh0 = x0r - jnp.concatenate([x0r[:, -1:], x0r[:, :-1]], axis=1)
+        dv0 = x0r - row_prev[...]
+        tvacc[0] = tvacc[0] + jnp.sum(jnp.sqrt(dh0 * dh0 + dv0 * dv0))
+        tv_ref[b] = tvacc[0]
 
     # ---- one streaming pass: up to `limit` sweeps from `src` --------------
     def run_pass(src, limit):
@@ -652,19 +866,30 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
             glam_w = buf_g[p] / lam
 
             def sweep_body(i, carry):
+                # restructured for VMEM liveness (r5): u dies before tmp is
+                # built, the residual is computed on central-row slices, and
+                # tmp dies into denom — at most px/py/upx/upy + one other
+                # (W, N) value live at once (the r4 form kept ~8, which
+                # compile-OOM'd R = 128 even single-slot).  Every operation
+                # is elementwise-identical to the whole-image op, so
+                # bit-exactness is preserved.
                 px_w, py_w = carry
                 u = neumann_div(px_w, py_w) - glam_w
-                zrow = jnp.zeros((1, N), dtype)
-                upx = jnp.concatenate([u[1:, :] - u[:-1, :], zrow], axis=0)
+                upx = jnp.concatenate(
+                    [u[1:, :] - u[:-1, :], jnp.zeros((1, N), dtype)], axis=0
+                )
                 upy = jnp.concatenate(
                     [u[:, 1:] - u[:, :-1], jnp.zeros((W, 1), dtype)], axis=1
                 )
                 tmp = jnp.sqrt(upx * upx + upy * upy)
                 # residual over central rows only (the pad rows' values are
-                # not part of the global residual)
-                rx = central(-upx + tmp * px_w, t)
-                ry = central(-upy + tmp * py_w, t)
-                part = (jnp.sum(rx * rx) + jnp.sum(ry * ry)).astype(jnp.float32)
+                # not part of the global residual); slicing the operands
+                # before the arithmetic gives the same elementwise values
+                # with (R, N) instead of (W, N) temporaries
+                tmp_c = central(tmp, t)
+                rx = -central(upx, t) + tmp_c * central(px_w, t)
+                ry = -central(upy, t) + tmp_c * central(py_w, t)
+                part = jnp.sum(rx * rx + ry * ry)
                 errs[i] = errs[i] + part
                 denom = 1.0 + tau * tmp
                 return (px_w + tau * upx) / denom, (py_w + tau * upy) / denom
@@ -672,30 +897,32 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
             # dynamic trip count: exactly `limit` window sweeps run — a
             # 25-sweep solve costs 25 window sweeps (not ceil(25/K)*K)
             px_w, py_w = jax.lax.fori_loop(
-                1, limit + 1, sweep_body, (buf_pxy[p, 0], buf_pxy[p, 1])
+                1, limit + 1, sweep_body, window_duals(src, p)
             )
 
+            dst = jnp.where(src == 0, jnp.int32(1), jnp.int32(0))
             if pipelined:
                 @pl.when(t >= 2)
                 def _():
-                    wait_wb(1 - src, t - 2, p)
+                    wait_wb(dst, t - 2, p)
 
             wpxy[p, 0] = central(px_w, t)
             wpxy[p, 1] = central(py_w, t)
-            start_wb(1 - src, t, p)
+            start_wb(dst, t, p)
             if not pipelined:
-                wait_wb(1 - src, t, 0)
+                wait_wb(dst, t, 0)
             return 0
 
         jax.lax.fori_loop(0, T, tile_body, 0)
         if pipelined:
-            wait_wb(1 - src, T - 2, (T - 2) & 1)
-            wait_wb(1 - src, T - 1, (T - 1) & 1)
+            dst = jnp.where(src == 0, jnp.int32(1), jnp.int32(0))
+            wait_wb(dst, T - 2, (T - 2) & 1)
+            wait_wb(dst, T - 1, (T - 1) & 1)
 
     # ---- pass loop with bit-exact early exit ------------------------------
     def pass_cond(carry):
         s0, src, err = carry
-        return jnp.logical_and(s0 < max_iter, err > tol32)
+        return jnp.logical_and(s0 < max_iter, err > tolv)
 
     def pass_body(carry):
         s0, src, _ = carry
@@ -707,7 +934,7 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
         # first inner sweep whose global residual hit tol (if any)
         def scan_j(i, jstar):
             hit = jnp.logical_and(
-                i <= limit, jnp.sqrt(errs[i]) <= tol32
+                i <= limit, jnp.sqrt(errs[i]) <= tolv
             )
             return jnp.where(jnp.logical_and(jstar == 0, hit), i, jstar)
 
@@ -719,14 +946,18 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
         def _():
             run_pass(src, jstar)
 
-        return s0 + jstop, 1 - src, jnp.sqrt(errs[jstop])
+        dst = jnp.where(src == 0, jnp.int32(1), jnp.int32(0))
+        return s0 + jstop, dst, jnp.sqrt(errs[jstop])
 
     s_final, src_final, err_final = jax.lax.while_loop(
         pass_cond, pass_body,
-        (jnp.int32(0), jnp.int32(0), jnp.array(jnp.inf, jnp.float32)),
+        (jnp.int32(0), jnp.int32(2), jnp.array(jnp.inf, dtype)),
     )
 
     # ---- assemble f = g - lam * div(px, py) from the final workspace ------
+    # (src_final == 2 only when max_iter == 0 fired no pass: zero duals /
+    # the warm input are then the final state and the fetch helpers handle
+    # them like any other source)
     if pipelined:
         start_fetch(src_final, 0, 0)
 
@@ -740,36 +971,173 @@ def _streamed_kernel(g_ref, scal_ref, f_ref, pxyA_ref, pxyB_ref, meta_ref,
             start_fetch(src_final, t, 0)
 
         wait_fetch(src_final, t, p)
-        px_w = buf_pxy[p, 0]
-        py_w = buf_pxy[p, 1]
+        px_w, py_w = window_duals(src_final, p)
         g_w = buf_g[p]
         div = neumann_div(px_w, py_w)
         f_t = central(g_w - lam * div, t)
 
-        @pl.when(t >= 2)
-        def _():
-            pltpu.make_async_copy(
-                wpxy.at[p, 0], f_ref.at[b, pl.ds((t - 2) * R, R)], wsem.at[p]
-            ).wait()
+        if pipelined:
+            @pl.when(t >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    wpxy.at[p, 0], f_ref.at[b, pl.ds((t - 2) * R, R)],
+                    wsem.at[p],
+                ).wait()
 
         wpxy[p, 0] = f_t
-        pltpu.make_async_copy(
+        d = pltpu.make_async_copy(
             wpxy.at[p, 0], f_ref.at[b, pl.ds(t * R, R)], wsem.at[p]
-        ).start()
+        )
+        d.start()
+        if not pipelined:
+            # single-slot form: wpxy[0] is re-used next tile — drain now
+            # (the two-tile drain below would also index slot 1, which the
+            # sync form does not have)
+            d.wait()
         return 0
 
     jax.lax.fori_loop(0, T, asm_body, 0)
-    for t in (T - 2, T - 1):
-        pltpu.make_async_copy(
-            wpxy.at[t & 1, 0], f_ref.at[b, pl.ds(t * R, R)], wsem.at[t & 1]
-        ).wait()
+    if pipelined:
+        for t in (T - 2, T - 1):
+            pltpu.make_async_copy(
+                wpxy.at[t & 1, 0], f_ref.at[b, pl.ds(t * R, R)], wsem.at[t & 1]
+            ).wait()
+
+    # ---- stream the final duals back out (SALSA warm-start state) ---------
+    if ret_duals:
+        def dual_out_body(t, _):
+            p = (t & 1) if pipelined else 0
+            # stage the final central rows into wpxy[p] ...
+            @pl.when(src_final != 2)
+            def _():
+                _for_flag(src_final, lambda ref: pltpu.make_async_copy(
+                    ref.at[:, pl.ds(t * R, R)], wpxy.at[p], fsem.at[1, p]
+                ).start())
+                _for_flag(src_final, lambda ref: pltpu.make_async_copy(
+                    ref.at[:, pl.ds(t * R, R)], wpxy.at[p], fsem.at[1, p]
+                ).wait())
+
+            @pl.when(src_final == 2)
+            def _():
+                if warm:
+                    for which, ref in ((0, pxin_ref), (1, pyin_ref)):
+                        d = pltpu.make_async_copy(
+                            ref.at[b, pl.ds(t * R, R)], wpxy.at[p, which],
+                            fsem.at[2 + which, p],
+                        )
+                        d.start()
+                        d.wait()
+                else:
+                    wpxy[p] = jnp.zeros((2, R, N), dtype)
+
+            # ... and write them to the px/py outputs (synchronous: this
+            # tail is ~2 fields of traffic once per solve)
+            for which, ref in ((0, pxout_ref), (1, pyout_ref)):
+                d = pltpu.make_async_copy(
+                    wpxy.at[p, which], ref.at[b, pl.ds(t * R, R)],
+                    wsem.at[p],
+                )
+                d.start()
+                d.wait()
+            return 0
+
+        jax.lax.fori_loop(0, T, dual_out_body, 0)
 
     meta_ref[b, 0] = s_final.astype(jnp.float32)
-    meta_ref[b, 1] = err_final
+    meta_ref[b, 1] = err_final.astype(jnp.float32)
+
+
+def streamed_call(
+    inputs,
+    g_like: jnp.ndarray,
+    *,
+    mode: str,
+    ret_duals: bool,
+    max_iter: int,
+    tile_rows: int,
+    pipelined: bool,
+    interpret: bool,
+    positivity: bool = True,
+):
+    """Shared pallas_call builder for the streamed-kernel family (the
+    prox-only plain/warm forms here and the fused MYULA step in
+    ops/fused_step_pallas).  `inputs` is the kernel's input tuple (scal
+    last); `g_like` supplies (B, M, N) and dtype.  Returns the raw output
+    tuple in kernel order."""
+    B, M, N = g_like.shape
+    dtype = g_like.dtype
+    R = tile_rows
+    K = STREAM_SWEEP_BLOCK
+    assert M % R == 0 and M // R >= 2 and M >= R + 2 * K, (M, R)
+    T = M // R
+    W = R + 2 * K
+    S = 2 if pipelined else 1
+    fused = mode == "fused"
+    warm = mode == "warm"
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [any_spec] * (len(inputs) - 1) + [smem_spec]
+
+    out_shape = []
+    out_specs = []
+    if fused:
+        out_shape.append(jax.ShapeDtypeStruct((B, M, N), dtype))  # xn
+        out_specs.append(any_spec)
+    out_shape += [
+        jax.ShapeDtypeStruct((B, M, N), dtype),      # f
+        jax.ShapeDtypeStruct((2, M, N), dtype),      # pxy ping workspace
+        jax.ShapeDtypeStruct((2, M, N), dtype),      # pxy pong workspace
+    ]
+    out_specs += [any_spec, any_spec, any_spec]
+    if ret_duals:
+        out_shape += [
+            jax.ShapeDtypeStruct((B, M, N), dtype),  # px out
+            jax.ShapeDtypeStruct((B, M, N), dtype),  # py out
+        ]
+        out_specs += [any_spec, any_spec]
+    if fused:
+        out_shape.append(jax.ShapeDtypeStruct((B,), dtype))       # tv
+        out_specs.append(smem_spec)
+    out_shape.append(jax.ShapeDtypeStruct((B, 2), jnp.float32))   # meta
+    out_specs.append(smem_spec)
+
+    scratch = [
+        # pipelined=False trades the 2-slot DMA overlap for VMEM,
+        # admitting a larger R (the window-ratio lever at >=2048^2)
+        pltpu.VMEM((S, W, N), dtype),        # buf_g
+        pltpu.VMEM((S, 2, W, N), dtype),     # buf_pxy
+        pltpu.VMEM((S, 2, R, N), dtype),     # wpxy
+        pltpu.SMEM((K + 1,), dtype),         # per-inner-sweep residuals
+        # fetch sems: rows g / packed pxy (+ px_in / py_in when warm)
+        pltpu.SemaphoreType.DMA((4 if warm else 2, S)),
+        pltpu.SemaphoreType.DMA((S,)),       # writeback sems x slot
+    ]
+    if fused:
+        scratch += [
+            pltpu.VMEM((S, 4, R, N), dtype),     # mbuf: x/prox/grad/z tiles
+            pltpu.SemaphoreType.DMA((S, 4)),     # myula fetch sems
+            pltpu.SMEM((1,), dtype),             # tv accumulator
+            pltpu.VMEM((1, N), dtype),           # row_prev stash
+            pltpu.VMEM((1, N), dtype),           # row0 stash
+        ]
+
+    return pl.pallas_call(
+        partial(_streamed_kernel, max_iter=max_iter, tile_rows=R, n_tiles=T,
+                sweep_block=K, pipelined=pipelined, mode=mode,
+                ret_duals=ret_duals, positivity=positivity),
+        grid=(B,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
 
 
 @partial(jax.jit,
-         static_argnames=("max_iter", "tile_rows", "interpret", "pipelined"))
+         static_argnames=("max_iter", "tile_rows", "interpret", "pipelined",
+                          "return_state"))
 def chambolle_prox_streamed(
     g: jnp.ndarray,
     lam,
@@ -779,6 +1147,8 @@ def chambolle_prox_streamed(
     tile_rows: Optional[int] = None,
     interpret: bool = False,
     pipelined: bool = True,
+    duals: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    return_state: bool = False,
 ) -> Tuple[jnp.ndarray, ChambolleState]:
     """Chambolle prox for images whose two whole-image dual fields exceed
     VMEM scratch (>= 2048^2 f32 — where chambolle_prox_tiled caps out):
@@ -786,62 +1156,51 @@ def chambolle_prox_streamed(
     VMEM with TEMPORAL BLOCKING — each fetched window runs up to
     STREAM_SWEEP_BLOCK Jacobi sweeps locally before writing back, so HBM
     traffic is ~5/K fields per sweep and the VPU stencil is the bound.
-    Same math and per-sweep early exit as ops.tv.chambolle_prox (fresh
-    duals, state discarded); bit-identity is TPU-tested at 2048^2.
+    Same math and per-sweep early exit as ops.tv.chambolle_prox;
+    bit-identity is TPU-tested at 2048^2.
+
+    duals=(px, py) warm-starts the dual ascent (the reference 'dualvars'
+    option SALSA_v2.m:429 at streamed scale); return_state=True streams the
+    final duals back out so SALSA can carry them across outer iterations.
+    Without either, the first pass holds the zero duals in-register (no
+    zero-prologue writes, no first-pass dual fetch).
 
     Accepts (M, N) or (B, M, N); chains run sequentially in the grid,
-    sharing the HBM dual workspaces re-zeroed per chain.
+    sharing the HBM dual workspaces.
     """
     squeeze = g.ndim == 2
     if squeeze:
         g = g[None]
     B, M, N = g.shape
     if tile_rows is None:
-        tile_rows = streamed_tile_rows(M, N, jnp.dtype(g.dtype).itemsize)
-    R = tile_rows
-    K = STREAM_SWEEP_BLOCK
-    assert M % R == 0 and M // R >= 2 and M >= R + 2 * K, (M, R)
-    T = M // R
+        tile_rows = streamed_tile_rows(
+            M, N, jnp.dtype(g.dtype).itemsize, pipelined=pipelined
+        )
     scal = jnp.stack(
         [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype),
          jnp.asarray(tol, g.dtype)]
     )
-    W = R + 2 * K
-    f, _pxyA, _pxyB, meta = pl.pallas_call(
-        partial(_streamed_kernel, max_iter=max_iter, tile_rows=R, n_tiles=T,
-                sweep_block=K, pipelined=pipelined),
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, M, N), g.dtype),      # f
-            jax.ShapeDtypeStruct((2, M, N), g.dtype),      # pxy ping
-            jax.ShapeDtypeStruct((2, M, N), g.dtype),      # pxy pong
-            jax.ShapeDtypeStruct((B, 2), jnp.float32),     # meta (k, err)
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            # pipelined=False trades the 2-slot DMA overlap for VMEM,
-            # admitting a larger R (the window-ratio lever at >=2048^2)
-            pltpu.VMEM((2 if pipelined else 1, W, N), g.dtype),    # buf_g
-            pltpu.VMEM((2 if pipelined else 1, 2, W, N), g.dtype), # buf_pxy
-            pltpu.VMEM((2 if pipelined else 1, 2, R, N), g.dtype), # wpxy
-            pltpu.SMEM((K + 1,), jnp.float32),   # per-inner-sweep residuals
-            pltpu.SemaphoreType.DMA((2, 2)),     # fetch sems (g, pxy) x slot
-            pltpu.SemaphoreType.DMA((2,)),       # writeback sems x slot
-        ],
-        interpret=interpret,
-    )(g, scal)
+    if duals is not None:
+        px0, py0 = duals
+        if squeeze:
+            px0, py0 = px0[None], py0[None]
+        inputs = (g, px0, py0, scal)
+        mode = "warm"
+    else:
+        inputs = (g, scal)
+        mode = "plain"
+
+    outs = streamed_call(
+        inputs, g, mode=mode, ret_duals=return_state, max_iter=max_iter,
+        tile_rows=tile_rows, pipelined=pipelined, interpret=interpret,
+    )
+    if return_state:
+        f, _pxyA, _pxyB, px, py, meta = outs
+    else:
+        f, _pxyA, _pxyB, meta = outs
+        px = py = jnp.zeros_like(f)
     iters = meta[:, 0].astype(jnp.int32)
     err = meta[:, 1].astype(g.dtype)
-    zero = jnp.zeros_like(f)
     if squeeze:
-        f, iters, err, zero = f[0], iters[0], err[0], zero[0]
-    return f, ChambolleState(px=zero, py=zero, iters=iters, err=err)
+        f, px, py, iters, err = f[0], px[0], py[0], iters[0], err[0]
+    return f, ChambolleState(px=px, py=py, iters=iters, err=err)

@@ -48,6 +48,7 @@ from semiblind_tv_tpu.parallel.mesh import SPACE_AXIS
 
 __all__ = [
     "shard_rows",
+    "spatial_fft_precision",
     "spatial_tv_norm",
     "spatial_divergence",
     "spatial_forward_gradient",
@@ -64,6 +65,26 @@ __all__ = [
 def shard_rows(x, mesh: Mesh, axis_name: str = SPACE_AXIS):
     """Place a global (M, N) array row-sharded onto the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
+
+
+def spatial_fft_precision(precision=None):
+    """Per-apply transform matmul precision for the spatial path.
+
+    Auto mirrors the single-chip BlurOperator policy (runtime/problem.py):
+    HIGH (3-pass bf16) on TPU backends — validated at full budget on chip
+    (RESULTS.md r2: ~1.1e-6 relative spectral error, below the Langevin
+    noise floor) and the dominant per-device term of the spatial cost
+    model (halves it vs HIGHEST's 6 passes, moving the useful-S crossover
+    from ~8 to ~4 chips — benchmarks/spatial_cost_model.py, r5) — exact
+    HIGHEST elsewhere.  The OTF build (_spatial_otf) stays HIGHEST
+    unconditionally: H feeds every gradient."""
+    if precision is not None:
+        return precision
+    return (
+        jax.lax.Precision.HIGH
+        if jax.default_backend() in ("tpu", "axon")
+        else jax.lax.Precision.HIGHEST
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -200,11 +221,11 @@ def _local_cols(mat, rows_local, axis_name):
     )
 
 
-def spatial_rfft2(x, mats, axis_name: str = SPACE_AXIS):
+def spatial_rfft2(x, mats, axis_name: str = SPACE_AXIS, precision=None):
     """rfft2 of a row-sharded real image → row-sharded half-spectrum
     (re, im).  Row transform is local; the (M, M) column contraction is a
     local partial matmul + psum_scatter (reduce-scatter over the mesh)."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = spatial_fft_precision(precision)
     CN, SN, CM, SM = (jnp.asarray(mats[k], x.dtype) for k in ("CN", "SN", "CM", "SM"))
     Ml = x.shape[0]
     yre = jnp.matmul(x, CN, precision=hp)
@@ -218,11 +239,11 @@ def spatial_rfft2(x, mats, axis_name: str = SPACE_AXIS):
     return zre, zim
 
 
-def spatial_irfft2(zre, zim, mats, axis_name: str = SPACE_AXIS):
+def spatial_irfft2(zre, zim, mats, axis_name: str = SPACE_AXIS, precision=None):
     """irfft2 of a row-sharded half-spectrum (re, im) → row-sharded real
     image.  Column contraction first (partial matmul + reduce-scatter),
     then the local hermitian-weighted row transform."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = spatial_fft_precision(precision)
     CM, SM, WCT, WST = (
         jnp.asarray(mats[k], zre.dtype) for k in ("CM", "SM", "WCT", "WST")
     )
@@ -237,16 +258,18 @@ def spatial_irfft2(zre, zim, mats, axis_name: str = SPACE_AXIS):
     return jnp.matmul(yre, WCT, precision=hp) - jnp.matmul(yim, WST, precision=hp)
 
 
-def spatial_blur_apply(x, Hre, Him, mats, axis_name: str = SPACE_AXIS, adjoint=False):
+def spatial_blur_apply(x, Hre, Him, mats, axis_name: str = SPACE_AXIS,
+                       adjoint=False, precision=None):
     """A x (or Aᵀ x) for a row-sharded image and row-sharded OTF planes."""
-    zre, zim = spatial_rfft2(x, mats, axis_name)
+    precision = spatial_fft_precision(precision)
+    zre, zim = spatial_rfft2(x, mats, axis_name, precision=precision)
     if adjoint:
         re = Hre * zre + Him * zim
         im = Hre * zim - Him * zre
     else:
         re = Hre * zre - Him * zim
         im = Hre * zim + Him * zre
-    return spatial_irfft2(re, im, mats, axis_name)
+    return spatial_irfft2(re, im, mats, axis_name, precision=precision)
 
 
 # ---------------------------------------------------------------------------
@@ -255,16 +278,17 @@ def spatial_blur_apply(x, Hre, Him, mats, axis_name: str = SPACE_AXIS, adjoint=F
 
 def spatial_myula_step(
     x, prox, z, Hre, Him, yhre, yhim, mats, gamma, lam, sigma2,
-    axis_name: str = SPACE_AXIS, positivity: bool = True,
+    axis_name: str = SPACE_AXIS, positivity: bool = True, precision=None,
 ):
     """One MYULA Langevin update of a row-sharded chain state
     (samplers/myula.py semantics; gradF through the sharded transforms)."""
-    zre, zim = spatial_rfft2(x, mats, axis_name)
+    precision = spatial_fft_precision(precision)
+    zre, zim = spatial_rfft2(x, mats, axis_name, precision=precision)
     rre = Hre * zre - Him * zim - yhre
     rim = Hre * zim + Him * zre - yhim
     gre = Hre * rre + Him * rim
     gim = Hre * rim - Him * rre
-    gradF = spatial_irfft2(gre, gim, mats, axis_name) / sigma2
+    gradF = spatial_irfft2(gre, gim, mats, axis_name, precision=precision) / sigma2
     xn = x + gamma * (prox - x) / lam - gamma * gradF + jnp.sqrt(2.0 * gamma) * z
     return jnp.abs(xn) if positivity else xn
 
@@ -301,6 +325,7 @@ def spatial_salsa_tv(
     M, N = y.shape
     d = M * N
     H = np.asarray(H)
+    prec = spatial_fft_precision()
     mats = {k: v for k, v in rdft_matrices((M, N), dtype).items()}
     w_full = np.asarray(rfft_weights((M, N), dtype))  # (1, Nh) column weights
 
@@ -317,7 +342,7 @@ def spatial_salsa_tv(
         out_specs=(P(axis, None), P(), P()),
     )
     def solve(y_l, Hre_l, Him_l, tau, mu):
-        yhre, yhim = spatial_rfft2(y_l, mats, axis)
+        yhre, yhim = spatial_rfft2(y_l, mats, axis, precision=prec)
         ATy_re = Hre_l * yhre + Him_l * yhim
         ATy_im = Hre_l * yhim - Him_l * yhre
         inv_f = 1.0 / (Hre_l * Hre_l + Him_l * Him_l + mu)
@@ -334,10 +359,10 @@ def spatial_salsa_tv(
                 x - bu, thresh, tv_iters, tau=chambolle_tau,
                 tol=chambolle_tol, duals=(pux, puy), axis_name=axis,
             )
-            rre, rim = spatial_rfft2(un + bu, mats, axis)
+            rre, rim = spatial_rfft2(un + bu, mats, axis, precision=prec)
             xh_re = inv_f * (ATy_re + mu * rre)
             xh_im = inv_f * (ATy_im + mu * rim)
-            xn = spatial_irfft2(xh_re, xh_im, mats, axis)
+            xn = spatial_irfft2(xh_re, xh_im, mats, axis, precision=prec)
             bun = bu + (un - xn)
 
             res_re = yhre - (Hre_l * xh_re - Him_l * xh_im)
@@ -431,6 +456,7 @@ def run_sapg_spatial(
     free_names = tuple(s.name for s in psf_specs if not s.fix)
     sigma_spec = problem.sigma_spec()
     d_scale = sapg.d_scale if sapg.d_scale is not None else 0.01 / theta_spec.init
+    prec = spatial_fft_precision()
     mats = rdft_matrices((M, N), dtype)
     w_full = np.asarray(rfft_weights((M, N), dtype))
     Fx, Fy = blur.factors  # host numpy complex factor matrices
@@ -504,12 +530,12 @@ def run_sapg_spatial(
     )
     def warm_all(y_l, key_c):
         w = jnp.asarray(w_full, dtype)
-        yh_re, yh_im = spatial_rfft2(y_l, mats, axis)
+        yh_re, yh_im = spatial_rfft2(y_l, mats, axis, precision=prec)
         H0re = local_slice(np.ascontiguousarray(H0_full.real))
         H0im = local_slice(np.ascontiguousarray(H0_full.imag))
 
         prox0 = spatial_prox(y_l, lam * theta0)
-        Xh_re0, Xh_im0 = spatial_rfft2(y_l, mats, axis)
+        Xh_re0, Xh_im0 = spatial_rfft2(y_l, mats, axis, precision=prec)
 
         def warm_step(carry, _):
             Xl, Xre, Xim, prox, key_c = carry
@@ -517,12 +543,12 @@ def run_sapg_spatial(
             rim = H0re * Xim + H0im * Xre - yh_im
             gre = H0re * rre + H0im * rim
             gim = H0re * rim - H0im * rre
-            gradF = spatial_irfft2(gre, gim, mats, axis) / sigma0
+            gradF = spatial_irfft2(gre, gim, mats, axis, precision=prec) / sigma0
             key_c, Z = draw_noise(key_c)
             Xn = Xl + gam * (prox - Xl) / lam - gam * gradF + jnp.sqrt(2.0 * gam) * Z
             Xn = jnp.abs(Xn)
             proxn = spatial_prox(Xn, lam * theta0)
-            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis)
+            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis, precision=prec)
             res2 = pnorm2(H0re * Xre_n - H0im * Xim_n - yh_re,
                           H0re * Xim_n + H0im * Xre_n - yh_im, w)
             logpi = -res2 / (2.0 * sigma0) - theta0 * spatial_tv_norm(Xn, axis)
@@ -556,13 +582,13 @@ def run_sapg_spatial(
             rim = Hre * Xim + Him * Xre - yh_im
             gre = Hre * rre + Him * rim
             gim = Hre * rim - Him * rre
-            gradF = spatial_irfft2(gre, gim, mats, axis) / sigma2
+            gradF = spatial_irfft2(gre, gim, mats, axis, precision=prec) / sigma2
             key_c, Z = draw_noise(key_c)
             Xn = Xl + gam * (prox - Xl) / lam - gam * gradF + jnp.sqrt(2.0 * gam) * Z
             if sapg.positivity:
                 Xn = jnp.abs(Xn)
             proxn = spatial_prox(Xn, lam * theta)
-            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis)
+            Xre_n, Xim_n = spatial_rfft2(Xn, mats, axis, precision=prec)
             Rre = Hre * Xre_n - Him * Xim_n - yh_re
             Rim = Hre * Xim_n + Him * Xre_n - yh_im
             res2 = pnorm2(Rre, Rim, w)
@@ -619,7 +645,7 @@ def run_sapg_spatial(
 
     rfft_y = jax.jit(
         jax.shard_map(
-            lambda y_l: spatial_rfft2(y_l, mats, axis),
+            lambda y_l: spatial_rfft2(y_l, mats, axis, precision=prec),
             mesh=mesh, in_specs=(P(axis, None),),
             out_specs=(P(axis, None), P(axis, None)),
         )

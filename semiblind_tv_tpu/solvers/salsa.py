@@ -45,7 +45,7 @@ import numpy as np
 from semiblind_tv_tpu.ops.fourier import BlurOperator
 from semiblind_tv_tpu.ops.tv import chambolle_prox, tv_norm
 
-__all__ = ["SALSAResult", "salsa_tv", "soft_threshold"]
+__all__ = ["SALSAResult", "resolve_salsa_prox_mode", "salsa_tv", "soft_threshold"]
 
 
 def soft_threshold(x, T):
@@ -68,14 +68,14 @@ class SALSAResult:
 @partial(
     jax.jit,
     static_argnames=(
-        "blur", "max_iter", "tv_iters", "stop_criterion", "use_pallas",
-        "compute_mse", "chambolle_tau", "chambolle_tol",
+        "blur", "max_iter", "tv_iters", "stop_criterion", "prox_mode",
+        "compute_mse", "chambolle_tau", "chambolle_tol", "prox_interpret",
     ),
 )
 def _salsa_solve(
     y, Hre, Him, tau, mu, tol, x_true,
-    blur, max_iter, tv_iters, stop_criterion, use_pallas, compute_mse,
-    chambolle_tau, chambolle_tol,
+    blur, max_iter, tv_iters, stop_criterion, prox_mode, compute_mse,
+    chambolle_tau, chambolle_tol, prox_interpret=False,
 ):
     """One compiled program for the whole solve (see module docstring).
 
@@ -101,15 +101,46 @@ def _salsa_solve(
         x, u, bu, pux, puy, prev_obj, done, n_done = carry
         active = jnp.logical_not(done)
 
-        un, st = chambolle_prox(
-            x - bu,
-            thresh,
-            tv_iters,
-            tau=chambolle_tau,
-            tol=chambolle_tol,
-            duals=(pux, puy),
-            use_pallas=use_pallas,
-        )
+        # size-resolved prox backend, all with SALSA_v2's defining
+        # warm-started duals (SALSA_v2.m:429): whole-image Mosaic kernel
+        # ≤512², VMEM-scratch tiled kernel to 1024², HBM-streamed kernel
+        # ≥2048² — every rung of the size ladder solves the prox at kernel
+        # grade instead of falling back to the XLA sweeps
+        if prox_mode == "pallas":
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_pallas
+
+            un, st = chambolle_prox_pallas(
+                x - bu, thresh, tv_iters, tau=chambolle_tau,
+                tol=chambolle_tol, duals=(pux, puy),
+                interpret=prox_interpret,
+            )
+        elif prox_mode == "tiled":
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+            rows = blur.shape[0]
+            un, st = chambolle_prox_tiled(
+                x - bu, thresh, tv_iters, tau=chambolle_tau,
+                tol=chambolle_tol, duals=(pux, puy),
+                tile_rows=128 if rows % 128 == 0 else 32,
+                interpret=prox_interpret,
+            )
+        elif prox_mode == "streamed":
+            from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_streamed
+
+            un, st = chambolle_prox_streamed(
+                x - bu, thresh, tv_iters, tau=chambolle_tau,
+                tol=chambolle_tol, duals=(pux, puy), return_state=True,
+                interpret=prox_interpret,
+            )
+        else:
+            un, st = chambolle_prox(
+                x - bu,
+                thresh,
+                tv_iters,
+                tau=chambolle_tau,
+                tol=chambolle_tol,
+                duals=(pux, puy),
+            )
         r = un + bu
         rhat = blur.rfft(r)
         xhat_n = inv_filter * (ATy_hat + mu * rhat)
@@ -170,6 +201,41 @@ def _salsa_solve(
     return x, traces, n_done, obj0
 
 
+def resolve_salsa_prox_mode(blur: BlurOperator, use_pallas=None) -> str:
+    """Auto prox backend for the SALSA inner Chambolle solve, by size:
+
+      * "pallas"   ≤512² — whole-image kernel, duals VMEM-resident (the
+                   ~8-field footprint OOMs beyond 512², RESULTS.md r2);
+      * "tiled"    to 1024² — duals in VMEM scratch, image streamed in row
+                   tiles (2 whole-image scratch fields ≤ 12 MB);
+      * "streamed" ≥2048² — duals in HBM ping-pong workspaces, temporally
+                   blocked row windows;
+      * "xla"      CPU, non-conforming geometries, or use_pallas=False.
+
+    All three kernel modes carry the warm-started duals across outer
+    iterations (SALSA_v2.m:429) — r5 lifted the old ≤512² kernel cap."""
+    if use_pallas is False:
+        return "xla"
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu and use_pallas is None:
+        return "xla"
+    M, N = blur.shape
+    field_bytes = M * N * jnp.dtype(blur.dtype).itemsize
+    if max(blur.shape) <= 512:
+        return "pallas"
+    if M % 128 == 0 and 2 * field_bytes <= 12 * 2**20:
+        return "tiled"
+    if M % 128 == 0 and 2 * field_bytes > 12 * 2**20:
+        from semiblind_tv_tpu.ops.tv_pallas import streamed_tile_rows
+
+        try:
+            streamed_tile_rows(M, N, jnp.dtype(blur.dtype).itemsize)
+            return "streamed"
+        except ValueError:
+            return "xla"
+    return "xla"
+
+
 def salsa_tv(
     y: jnp.ndarray,
     H: jnp.ndarray,
@@ -190,17 +256,13 @@ def salsa_tv(
     Matches SALSA_v2 called as the demos call it: TVINITIALIZATION=1,
     initialization x0 = 0 (SALSA_v2.m:379: x = AT(zeros) = 0 for this A).
 
-    use_pallas=None → auto: the Mosaic Chambolle kernel on TPU (the
-    tv_iters dual-ascent sweeps become ONE launch with duals resident in
-    VMEM), pure-XLA elsewhere.  H may be a host NumPy OTF
+    use_pallas=None → auto: the size-appropriate Mosaic Chambolle kernel
+    on TPU (whole-image ≤512², VMEM-scratch tiled to 1024², HBM-streamed
+    ≥2048² — all carrying SALSA's warm-started duals), pure-XLA elsewhere;
+    use_pallas=False forces XLA.  H may be a host NumPy OTF
     (blur.otf_host) — it is passed into the compiled solve as re/im planes.
     """
-    if use_pallas is None:
-        # the Mosaic prox kernel's VMEM-resident fields cap at 512² (the
-        # 1024² kernel needs 31.77M scoped VMEM vs the 16M limit — r2)
-        use_pallas = jax.default_backend() in ("tpu", "axon") and max(
-            blur.shape
-        ) <= 512
+    prox_mode = resolve_salsa_prox_mode(blur, use_pallas)
     dtype = blur.dtype
     y = jnp.asarray(y, dtype)
     d = y.size
@@ -218,7 +280,7 @@ def salsa_tv(
         y, Hre, Him,
         jnp.asarray(tau, dtype), jnp.asarray(mu, dtype), jnp.asarray(tol, dtype),
         x_true_arr,
-        blur, max_iter, tv_iters, stop_criterion, use_pallas, compute_mse,
+        blur, max_iter, tv_iters, stop_criterion, prox_mode, compute_mse,
         chambolle_tau, chambolle_tol,
     )
 

@@ -300,3 +300,136 @@ def test_tiled_fused_step_interpret_matches_unfused():
     pr1, st1 = chambolle_prox(np.asarray(xn1), 0.5, 25)
     assert int(st1.iters) < 25  # reference exits early; fields must agree
     np.testing.assert_allclose(np.asarray(f1), np.asarray(pr1), atol=1e-12)
+
+
+def test_streamed_chambolle_warm_duals_and_state():
+    """Warm-started streamed prox (SALSA's >=2048^2 form): duals in,
+    final duals out — identical to the whole-image op's 'dualvars' path
+    (reference SALSA/SALSA_v2.m:429), single + batched + early exit."""
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_streamed
+
+    g = jax.random.uniform(jax.random.key(40), (128, 96), jnp.float64) * 255
+    _, st0 = chambolle_prox(g, 0.4, 7)
+    f_ref, st_ref = chambolle_prox(g, 0.4, 10, duals=(st0.px, st0.py))
+    f_s, st_s = chambolle_prox_streamed(
+        g, 0.4, 10, tile_rows=32, interpret=True,
+        duals=(st0.px, st0.py), return_state=True,
+    )
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.px), np.asarray(st_ref.px), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.py), np.asarray(st_ref.py), atol=1e-12)
+    assert int(st_s.iters) == int(st_ref.iters)
+
+    # warm start on an already-converged problem: early exit fires on the
+    # first sweeps and the input duals round-trip through the state output
+    ge = jnp.ones((64, 64), jnp.float64)
+    _, ste = chambolle_prox(ge, 0.5, 25)
+    f_ref, st_ref = chambolle_prox(ge, 0.5, 25, duals=(ste.px, ste.py))
+    f_s, st_s = chambolle_prox_streamed(
+        ge, 0.5, 25, tile_rows=16, interpret=True,
+        duals=(ste.px, ste.py), return_state=True,
+    )
+    assert int(st_s.iters) == int(st_ref.iters)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.px), np.asarray(st_ref.px), atol=1e-12)
+
+    # batched warm start (chains sequential, shared HBM workspaces) +
+    # single-slot sync form
+    B = 2
+    gs = jnp.stack([g[:64, :64], g[64:, :64] * 0.5])
+    d0 = [chambolle_prox(gs[i], 0.8, 5)[1] for i in range(B)]
+    px0 = jnp.stack([d.px for d in d0])
+    py0 = jnp.stack([d.py for d in d0])
+    for pipelined in (True, False):
+        fb, stb = chambolle_prox_streamed(
+            gs, 0.8, 10, tile_rows=16, interpret=True,
+            duals=(px0, py0), return_state=True, pipelined=pipelined,
+        )
+        for i in range(B):
+            fi, sti = chambolle_prox(gs[i], 0.8, 10, duals=(d0[i].px, d0[i].py))
+            np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(stb.px[i]), np.asarray(sti.px), atol=1e-12)
+            assert int(stb.iters[i]) == int(sti.iters)
+
+
+def test_streamed_fused_step_interpret_matches_unfused():
+    """HBM-streamed fused MYULA+prox+TV (the >=2048^2 SAPG step) vs the
+    unfused composition — identical fields, TV, early exit; batched,
+    squeeze, and single-slot forms."""
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_streamed
+
+    B, M, N = 2, 96, 64
+    ks = jax.random.split(jax.random.key(50), 4)
+    x = jax.random.uniform(ks[0], (B, M, N), jnp.float64) * 100
+    prox_c = x + jax.random.normal(ks[1], (B, M, N)) * 0.1
+    graw = jax.random.normal(ks[2], (B, M, N))  # unscaled gradF
+    z = jax.random.normal(ks[3], (B, M, N))
+    g, l, lt, s2 = 0.03, 0.9, 0.04, 2.5
+
+    xn, f, tv = myula_prox_tv_streamed(
+        x, prox_c, graw, z, g, l, lt, s2, n_sweeps=25, tile_rows=32,
+        interpret=True,
+    )
+    assert tv.shape == (B,)
+    for i in range(B):
+        xr = myula_kernel_step(x[i], prox_c[i], graw[i] / s2, g, l, z[i], True)
+        pr, _ = chambolle_prox(xr, lt, 25)
+        np.testing.assert_allclose(np.asarray(xn[i]), np.asarray(xr), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(f[i]), np.asarray(pr), atol=1e-12)
+        np.testing.assert_allclose(float(tv[i]), float(tv_norm(xr)), rtol=1e-10)
+
+    # squeeze path, no positivity, sync-DMA form
+    xn1, f1, tv1 = myula_prox_tv_streamed(
+        x[0], prox_c[0], graw[0], z[0], g, l, lt, s2, n_sweeps=10,
+        tile_rows=16, interpret=True, positivity=False, pipelined=False,
+    )
+    xr1 = myula_kernel_step(x[0], prox_c[0], graw[0] / s2, g, l, z[0], False)
+    pr1, _ = chambolle_prox(xr1, lt, 10)
+    np.testing.assert_allclose(np.asarray(xn1), np.asarray(xr1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(pr1), atol=1e-12)
+    np.testing.assert_allclose(float(tv1), float(tv_norm(xr1)), rtol=1e-10)
+
+    # early exit parity on an easy problem (exercises the mid-pass redo
+    # with the fused xn workspace as the g source)
+    xe = jnp.ones((64, 64), jnp.float64) * 5
+    ze = jnp.zeros_like(xe)
+    xne, fe, tve = myula_prox_tv_streamed(
+        xe, xe, ze, ze, g, l, 0.5, 1.0, n_sweeps=25, tile_rows=16,
+        interpret=True,
+    )
+    xre = myula_kernel_step(xe, xe, ze, g, l, ze, True)
+    pre, ste = chambolle_prox(xre, 0.5, 25)
+    assert int(ste.iters) < 25
+    np.testing.assert_allclose(np.asarray(fe), np.asarray(pre), atol=1e-12)
+
+
+def test_tiled_chambolle_warm_duals_and_state():
+    """Warm-started tiled prox (SALSA's 1024² form): duals in via the
+    load phase, converged duals out at assembly — identical to the
+    whole-image op's 'dualvars' path, single + batched."""
+    from semiblind_tv_tpu.ops.tv_pallas import chambolle_prox_tiled
+
+    g = jax.random.uniform(jax.random.key(60), (64, 48), jnp.float64) * 255
+    _, st0 = chambolle_prox(g, 0.4, 7)
+    f_ref, st_ref = chambolle_prox(g, 0.4, 10, duals=(st0.px, st0.py))
+    f_t, st_t = chambolle_prox_tiled(
+        g, 0.4, 10, tile_rows=16, interpret=True, duals=(st0.px, st0.py)
+    )
+    np.testing.assert_allclose(np.asarray(f_t), np.asarray(f_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_t.px), np.asarray(st_ref.px), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_t.py), np.asarray(st_ref.py), atol=1e-12)
+    assert int(st_t.iters) == int(st_ref.iters)
+
+    # batched warm start
+    B = 2
+    gs = jnp.stack([g, g * 0.5])
+    d0 = [chambolle_prox(gs[i], 0.8, 5)[1] for i in range(B)]
+    fb, stb = chambolle_prox_tiled(
+        gs, 0.8, 10, tile_rows=16, interpret=True,
+        duals=(jnp.stack([d.px for d in d0]), jnp.stack([d.py for d in d0])),
+    )
+    for i in range(B):
+        fi, sti = chambolle_prox(gs[i], 0.8, 10, duals=(d0[i].px, d0[i].py))
+        np.testing.assert_allclose(np.asarray(fb[i]), np.asarray(fi), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(stb.px[i]), np.asarray(sti.px), atol=1e-12)
+        assert int(stb.iters[i]) == int(sti.iters)
