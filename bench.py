@@ -191,9 +191,10 @@ def main():
                 bench_sapg(_with_ikr(cfg), problem, FLAGSHIP_CHAINS), 3
             )
         if SIZE == 512 and os.environ.get("BENCH_LADDER", "1") == "1":
-            # size-ladder rung: 1024² at its B=4 per-chip ceiling, with its
-            # own SoL denominator (VERDICT r4 #3 — efficiency regressions
-            # above the flagship size become driver-visible)
+            # size-ladder rungs (VERDICT r4 #3/#2): 1024² SAPG at its B=4
+            # per-chip ceiling with its own SoL denominator, and the 2048²
+            # warm-dual streamed-prox MAP solve — efficiency regressions
+            # above the flagship size become driver-visible
             try:
                 from benchmarks.roofline import analytic as _ana
 
@@ -205,6 +206,26 @@ def main():
                 )
             except Exception as e:  # never sink the flagship metric
                 extras["ladder_1024_error"] = repr(e)[:200]
+            try:
+                from semiblind_tv_tpu.solvers import salsa_tv
+
+                _, prob_m = _problem(2048)
+
+                def _solve_2048():
+                    return salsa_tv(
+                        prob_m.y, prob_m.H_true,
+                        tau=0.1 * prob_m.sigma2_init, mu=0.01,
+                        blur=prob_m.blur, max_iter=100, tol=0.0, tv_iters=10,
+                    )
+
+                _solve_2048()  # compile
+                t0 = time.perf_counter()
+                _solve_2048()
+                extras["salsa_map_2048_100iter_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            except Exception as e:
+                extras["ladder_2048_error"] = repr(e)[:200]
     # median of 3 to stabilise the host-load-sensitive CPU baseline
     cpu_rate = sorted(bench_cpu_reference() for _ in range(3))[1]
     # Analytic speed-of-light denominator (benchmarks/roofline.py): makes

@@ -145,15 +145,16 @@ def part_salsa():
                                max_iter=100, tol=0.0, tv_iters=10,
                                use_pallas=up)
                 t_runs.append(time.perf_counter() - t0)
-            results[label] = (res, t_runs[-1])
-        xk, tk = results["kernel"]
-        xx, tx = results["xla"]
+            results[label] = res
+            emit(part="salsa", size=M, label=label,
+                 prox_mode=resolve_salsa_prox_mode(blur) if up is None else "xla",
+                 s_per_100it=round(t_runs[-1], 3),
+                 compile_s=round(t_runs[0], 1))
+        xk, xx = results["kernel"], results["xla"]
         emit(part="salsa", size=M,
-             prox_mode=resolve_salsa_prox_mode(blur),
              maxdiff=float(np.max(np.abs(xk.x - xx.x))),
              obj_equal=bool(np.array_equal(xk.objective, xx.objective)),
-             n_iters=(xk.n_iters, xx.n_iters),
-             s_per_100it_kernel=round(tk, 3), s_per_100it_xla=round(tx, 3))
+             n_iters=(xk.n_iters, xx.n_iters))
 
 
 def part_tiled1024():
