@@ -281,16 +281,20 @@ class BlurOperator:
             np.complex128 if self.dtype == jnp.float64 else np.complex64
         )
 
-    # Batched-FFT chunk size: XLA's batched 2-D FFT at ≥1024² stops scaling
-    # past ~8 images per dispatch (r5 decomposition: the 1024² B=16 step's
-    # ~6% droop lives entirely in the transform segment — the tiled kernel
-    # amortizes monotonically), so large batches run as sequential ≤8-image
-    # FFT dispatches via lax.map.  Numerically identical (per-image FFTs).
-    _FFT_CHUNK = 8
+    # Batched-FFT chunking: XLA's batched 2-D FFT stops scaling once the
+    # dispatch covers more than ~8 M pixels (r5 decomposition: the 1024²
+    # B=16 step's ~6% droop and the 2048² B=4 regression both live
+    # entirely in the transform segment — the fused kernels amortize
+    # monotonically), so large batches run as sequential ≤8 Mpx FFT
+    # dispatches via lax.map (1024² → 8 images/dispatch, 2048² → 2).
+    # Per-image FFT results differ from the one-dispatch batch only at
+    # f32-epsilon (FFT-internal order), the same class of variation XLA's
+    # own batching applies; small sizes (tests, parity) are ungated.
+    _FFT_CHUNK_PX = 8 * 1024 * 1024
 
     def _chunked_fft(self, x, one):
         B = x.shape[0]
-        C = self._FFT_CHUNK
+        C = max(1, self._FFT_CHUNK_PX // (self.shape[0] * self.shape[1]))
         if x.ndim != 3 or B <= C or B % C != 0 or max(self.shape) < 1024:
             return one(x)
         out = jax.lax.map(one, x.reshape((B // C, C) + x.shape[1:]))
