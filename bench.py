@@ -207,6 +207,15 @@ def main():
             except Exception as e:  # never sink the flagship metric
                 extras["ladder_1024_error"] = repr(e)[:200]
             try:
+                cfg_m, prob_m2 = _problem(2048)
+                rate_m = bench_sapg(cfg_m, prob_m2, 2, n_steps=30)
+                extras["ladder_2048_c2_iters_per_sec"] = round(rate_m, 3)
+                extras["sol_fraction_2048"] = round(
+                    rate_m / _ana(2048, 2048)["sol_chain_iters_per_sec"], 4
+                )
+            except Exception as e:
+                extras["ladder_2048_step_error"] = repr(e)[:200]
+            try:
                 from semiblind_tv_tpu.solvers import salsa_tv
 
                 _, prob_m = _problem(2048)
