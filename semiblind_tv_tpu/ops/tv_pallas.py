@@ -584,8 +584,15 @@ def streamed_tile_rows(M: int, N: int, itemsize: int = 4,
     (+ 4·S·R myula fetch buffers when fused) + ~5 live (W, N) sweep
     temporaries (the r5 restructured sweep keeps at most px/py/upx/upy +
     one of tmp/denom alive — the r4 8-temp form OOM'd R = 128 even
-    single-slot)."""
-    budget = int(14 * 2**20)
+    single-slot).
+
+    Budgets are fitted to measured compile outcomes, per form: pipelined
+    13.5 MB compiles / 14.25 MB OOMs (→ 14 MB budget); single-slot 9 MB
+    compiles / 11.5 MB OOMs (→ 10 MB budget — Mosaic's effective liveness
+    in the sync form is worse than the hand count, so 2048² R=128 sync
+    and 8192² R=32 sync both OOM despite fitting the naive arithmetic;
+    both were probed on chip, r5)."""
+    budget = int(14 * 2**20) if pipelined else int(10 * 2**20)
     S = 2 if pipelined else 1
     for r in (256, 128, 64, 32):
         w = r + 2 * STREAM_SWEEP_BLOCK
@@ -1173,9 +1180,16 @@ def chambolle_prox_streamed(
         g = g[None]
     B, M, N = g.shape
     if tile_rows is None:
-        tile_rows = streamed_tile_rows(
-            M, N, jnp.dtype(g.dtype).itemsize, pipelined=pipelined
-        )
+        itemsize = jnp.dtype(g.dtype).itemsize
+        try:
+            tile_rows = streamed_tile_rows(M, N, itemsize, pipelined=pipelined)
+        except ValueError:
+            if not pipelined:
+                raise
+            # the single-slot form frees ~half the buffer rows — the
+            # largest geometries (8192² f32) only fit there
+            pipelined = False
+            tile_rows = streamed_tile_rows(M, N, itemsize, pipelined=False)
     scal = jnp.stack(
         [jnp.asarray(lam, g.dtype), jnp.asarray(tau, g.dtype),
          jnp.asarray(tol, g.dtype)]

@@ -198,13 +198,15 @@ def make_general_sapg_step(
         )
 
     def _streamed_feasible(fused: bool = False) -> bool:
-        # a tile-size fit exists for the streamed kernel family (the fused
-        # wrapper itself retries the single-slot form, so feasibility is
-        # the union) — gates must not route to a kernel that would raise
-        # (8192²+ geometries have no fitting tile; ADVICE r4)
+        # a tile-size fit exists for the streamed kernel family (the
+        # wrappers retry the single-slot form themselves, so feasibility
+        # is the union over pipelining) — gates must not route to a
+        # kernel that would raise (ADVICE r4); the single-slot retry is
+        # what admits 8192² f32 (R=32 sync fits where the 2-slot form
+        # cannot)
         from semiblind_tv_tpu.ops.tv_pallas import streamed_tile_rows
 
-        for pipelined in ((True, False) if fused else (True,)):
+        for pipelined in (True, False):
             try:
                 streamed_tile_rows(
                     blur.shape[0], blur.shape[1],

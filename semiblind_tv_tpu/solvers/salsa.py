@@ -228,11 +228,14 @@ def resolve_salsa_prox_mode(blur: BlurOperator, use_pallas=None) -> str:
     if M % 128 == 0 and 2 * field_bytes > 12 * 2**20:
         from semiblind_tv_tpu.ops.tv_pallas import streamed_tile_rows
 
-        try:
-            streamed_tile_rows(M, N, jnp.dtype(blur.dtype).itemsize)
-            return "streamed"
-        except ValueError:
-            return "xla"
+        for pipelined in (True, False):  # single-slot fallback admits 8192²
+            try:
+                streamed_tile_rows(
+                    M, N, jnp.dtype(blur.dtype).itemsize, pipelined=pipelined
+                )
+                return "streamed"
+            except ValueError:
+                continue
     return "xla"
 
 
