@@ -53,6 +53,8 @@ def measure(variant: str, n_chains: int) -> float:
     elif variant == "ikr":           # fused step with in-kernel hardware-PRNG noise
         mods["use_fused_step"] = True
         mods["in_kernel_rng"] = True
+    elif variant == "ikr_auto":      # in-kernel noise on the size-auto step
+        mods["in_kernel_rng"] = True
     elif variant == "pallas_prox":
         mods["use_pallas_prox"] = True
     elif variant != "default":

@@ -77,31 +77,7 @@ def _kernel(x_ref, prox_ref, grad_ref, z_ref, scal_ref,
     tv_ref[pl.program_id(0)] = jnp.sum(jnp.sqrt(dh * dh + dv * dv))
 
 
-def _box_muller_normals(shape, dtype):
-    """Standard normals from the seeded per-core TPU PRNG (Box–Muller).
-    Both branches of each (u1, u2) pair are used (z = r·cos, r·sin over a
-    half-height draw when the row count is even), halving the log/sqrt/
-    cos-class transcendental count per element.  u1 maps the top 24 bits
-    into (0, 1] so log never sees 0; u2 into [0, 1).  Callers must
-    pltpu.prng_seed first."""
-    M, N = shape
-    paired = M % 2 == 0
-    draw = (M // 2, N) if paired else shape
-
-    def uniform(offset):
-        bits = pltpu.bitcast(pltpu.prng_random_bits(draw), jnp.uint32)
-        # top 24 bits < 2^24 fit non-negative int32 — Mosaic lowers
-        # int32→float but not uint32→float
-        top = pltpu.bitcast(bits >> 8, jnp.int32).astype(dtype)
-        return (top + offset) * dtype.type(2.0**-24)
-
-    u1 = uniform(1.0)   # (0, 1]
-    u2 = uniform(0.0)   # [0, 1)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    t = dtype.type(6.283185307179586) * u2
-    if paired:
-        return jnp.concatenate([r * jnp.cos(t), r * jnp.sin(t)], axis=0)
-    return r * jnp.cos(t)
+from semiblind_tv_tpu.ops.tv_pallas import box_muller_normals as _box_muller_normals
 
 
 def _kernel_rng(x_ref, prox_ref, grad_ref, seed_ref, scal_ref,
@@ -565,6 +541,7 @@ def myula_prox_tv_streamed(
     tile_rows: int | None = None,
     interpret: bool = False,
     pipelined: bool = True,
+    seeds: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """HBM-streamed fused MYULA + Chambolle prox + TV norm for images whose
     whole-image dual fields exceed VMEM scratch (>= 2048² f32 — beyond
@@ -580,17 +557,36 @@ def myula_prox_tv_streamed(
     gradF = grad_f/σ², chambolle_prox, tv_norm); bit-identity of the
     fields is TPU-tested at 2048².
 
+    seeds: optional (B, 2) int32 per-chain hardware-PRNG seeds (EXTENSION,
+    opt-in via SAPGConfig.in_kernel_rng, mirroring myula_prox_tv_rng at
+    this size): the Langevin noise is generated IN the prologue by the
+    seeded per-core PRNG (paired Box-Muller, fixed tile order) instead of
+    streaming `z` from HBM — pass z=None then.  TPU-only (pltpu.prng_seed
+    has no CPU/interpret lowering) and a different (equally valid) noise
+    realization than the threefry default.
+
     Accepts (M, N) or (B, M, N); chains run sequentially in the grid,
     sharing the HBM dual workspaces."""
+    ikr = seeds is not None
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         raise NotImplementedError(
             "myula_prox_tv_streamed requires a TPU backend; use "
             "interpret=True on CPU"
         )
+    if ikr and interpret:
+        raise NotImplementedError(
+            "in-kernel RNG has no interpret lowering (pltpu.prng_seed)"
+        )
     squeeze = x.ndim == 2
     if squeeze:
-        x, prox_cache, grad_f, z = x[None], prox_cache[None], grad_f[None], z[None]
+        x, prox_cache, grad_f = x[None], prox_cache[None], grad_f[None]
+        if ikr:
+            seeds = seeds[None]
+        else:
+            z = z[None]
     B, M, N = x.shape
+    if ikr:
+        assert seeds.shape == (B, 2), seeds.shape
     if tile_rows is None:
         itemsize = jnp.dtype(x.dtype).itemsize
         try:
@@ -611,11 +607,12 @@ def myula_prox_tv_streamed(
          jnp.asarray(tol, x.dtype), jnp.asarray(gamma, x.dtype),
          jnp.asarray(lam, x.dtype), jnp.asarray(sigma2, x.dtype)]
     )
+    last = jnp.asarray(seeds, jnp.int32) if ikr else z
     xn, f, _pxyA, _pxyB, tv, _meta = streamed_call(
-        (x, prox_cache, grad_f, z, scal), x,
+        (x, prox_cache, grad_f, last, scal), x,
         mode="fused", ret_duals=False, max_iter=n_sweeps,
         tile_rows=tile_rows, pipelined=pipelined, interpret=interpret,
-        positivity=bool(positivity),
+        positivity=bool(positivity), in_kernel_rng=ikr,
     )
     if squeeze:
         xn, f, tv = xn[0], f[0], tv[0]

@@ -32,7 +32,7 @@ __all__ = [
     "chambolle_prox_pallas", "chambolle_prox_tiled", "chambolle_prox_streamed",
     "chunked_chain_call",
     "dual_ascent_loop", "neumann_div", "tiled_sweep_phase", "tiled_divergence",
-    "streamed_tile_rows", "streamed_call",
+    "streamed_tile_rows", "streamed_call", "box_muller_normals",
 ]
 
 # Largest chain-grid the 512² whole-image Mosaic kernels are known to compile
@@ -78,6 +78,33 @@ def chunked_chain_call(run, arrays, max_grid: int = MAX_GRID_CHAINS):
 
     outs = jax.lax.map(lambda xs: run(*xs), tuple(prep(a) for a in arrays))
     return tuple(o.reshape((nc * chunk,) + o.shape[2:])[:B] for o in outs)
+
+
+def box_muller_normals(shape, dtype):
+    """Standard normals from the seeded per-core TPU PRNG (Box–Muller).
+    Both branches of each (u1, u2) pair are used (z = r·cos, r·sin over a
+    half-height draw when the row count is even), halving the log/sqrt/
+    cos-class transcendental count per element.  u1 maps the top 24 bits
+    into (0, 1] so log never sees 0; u2 into [0, 1).  Callers must
+    pltpu.prng_seed first."""
+    M, N = shape
+    paired = M % 2 == 0
+    draw = (M // 2, N) if paired else shape
+
+    def uniform(offset):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(draw), jnp.uint32)
+        # top 24 bits < 2^24 fit non-negative int32 — Mosaic lowers
+        # int32→float but not uint32→float
+        top = pltpu.bitcast(bits >> 8, jnp.int32).astype(dtype)
+        return (top + offset) * dtype.type(2.0**-24)
+
+    u1 = uniform(1.0)   # (0, 1]
+    u2 = uniform(0.0)   # [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    t = dtype.type(6.283185307179586) * u2
+    if paired:
+        return jnp.concatenate([r * jnp.cos(t), r * jnp.sin(t)], axis=0)
+    return r * jnp.cos(t)
 
 
 def neumann_div(p1, p2):
@@ -605,7 +632,7 @@ def streamed_tile_rows(M: int, N: int, itemsize: int = 4,
 def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
                      sweep_block: int, pipelined: bool = True,
                      mode: str = "plain", ret_duals: bool = False,
-                     positivity: bool = True):
+                     positivity: bool = True, in_kernel_rng: bool = False):
     """Grid (B,): one program per chain; the whole solve runs in one
     program.  Temporal blocking: per streaming pass each tile fetches a
     (W, N) = (R + 2K, N) row window of g and of the packed duals, runs up
@@ -640,7 +667,13 @@ def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
     warm = mode == "warm"
     i = 0
     if fused:
-        x_ref, prox_ref, grad_ref, z_ref = refs[0:4]
+        if in_kernel_rng:
+            x_ref, prox_ref, grad_ref, seed_ref = refs[0:4]
+            z_ref = None
+            m_refs = (x_ref, prox_ref, grad_ref)
+        else:
+            x_ref, prox_ref, grad_ref, z_ref = refs[0:4]
+            m_refs = (x_ref, prox_ref, grad_ref, z_ref)
         i = 4
         g_ref = None
     else:
@@ -771,14 +804,14 @@ def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
         gamma, lam_my, sigma2 = scal_ref[3], scal_ref[4], scal_ref[5]
 
         def m_start(t, slot):
-            for j, r in enumerate((x_ref, prox_ref, grad_ref, z_ref)):
+            for j, r in enumerate(m_refs):
                 pltpu.make_async_copy(
                     r.at[b, pl.ds(t * R, R)], mbuf.at[slot, j],
                     msem.at[slot, j],
                 ).start()
 
         def m_wait(t, slot):
-            for j, r in enumerate((x_ref, prox_ref, grad_ref, z_ref)):
+            for j, r in enumerate(m_refs):
                 pltpu.make_async_copy(
                     r.at[b, pl.ds(t * R, R)], mbuf.at[slot, j],
                     msem.at[slot, j],
@@ -791,6 +824,13 @@ def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
             )
 
         tvacc[0] = jnp.zeros((), dtype)
+        if in_kernel_rng:
+            # per-chain hardware-PRNG stream (EXTENSION, opt-in — the seeds
+            # come from the same split-key sequence as the threefry path,
+            # but the in-kernel Box-Muller realization differs; see
+            # myula_prox_tv_rng).  Tiles draw in a fixed order, so the
+            # stream is deterministic per (seed, geometry).
+            pltpu.prng_seed(seed_ref[b, 0], seed_ref[b, 1])
         if pipelined:
             m_start(0, 0)
 
@@ -804,11 +844,15 @@ def _streamed_kernel(*refs, max_iter: int, tile_rows: int, n_tiles: int,
                 m_start(t, 0)
             m_wait(t, p)
             xv = mbuf[p, 0]
+            zv = (
+                box_muller_normals((R, N), dtype)
+                if in_kernel_rng else mbuf[p, 3]
+            )
             xn = (
                 xv
                 + gamma * (mbuf[p, 1] - xv) / lam_my
                 - gamma * (mbuf[p, 2] / sigma2)
-                + jnp.sqrt(2.0 * gamma) * mbuf[p, 3]
+                + jnp.sqrt(2.0 * gamma) * zv
             )
             if positivity:
                 xn = jnp.abs(xn)
@@ -1065,6 +1109,7 @@ def streamed_call(
     pipelined: bool,
     interpret: bool,
     positivity: bool = True,
+    in_kernel_rng: bool = False,
 ):
     """Shared pallas_call builder for the streamed-kernel family (the
     prox-only plain/warm forms here and the fused MYULA step in
@@ -1084,7 +1129,9 @@ def streamed_call(
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [any_spec] * (len(inputs) - 1) + [smem_spec]
+    # trailing SMEM inputs: scal (+ the per-chain PRNG seeds when ikr)
+    n_smem = 2 if in_kernel_rng else 1
+    in_specs = [any_spec] * (len(inputs) - n_smem) + [smem_spec] * n_smem
 
     out_shape = []
     out_specs = []
@@ -1121,9 +1168,10 @@ def streamed_call(
         pltpu.SemaphoreType.DMA((S,)),       # writeback sems x slot
     ]
     if fused:
+        nm = 3 if in_kernel_rng else 4
         scratch += [
-            pltpu.VMEM((S, 4, R, N), dtype),     # mbuf: x/prox/grad/z tiles
-            pltpu.SemaphoreType.DMA((S, 4)),     # myula fetch sems
+            pltpu.VMEM((S, nm, R, N), dtype),    # mbuf: x/prox/grad[/z] tiles
+            pltpu.SemaphoreType.DMA((S, nm)),    # myula fetch sems
             pltpu.SMEM((1,), dtype),             # tv accumulator
             pltpu.VMEM((1, N), dtype),           # row_prev stash
             pltpu.VMEM((1, N), dtype),           # row0 stash
@@ -1132,7 +1180,8 @@ def streamed_call(
     return pl.pallas_call(
         partial(_streamed_kernel, max_iter=max_iter, tile_rows=R, n_tiles=T,
                 sweep_block=K, pipelined=pipelined, mode=mode,
-                ret_duals=ret_duals, positivity=positivity),
+                ret_duals=ret_duals, positivity=positivity,
+                in_kernel_rng=in_kernel_rng),
         grid=(B,),
         out_shape=tuple(out_shape),
         in_specs=in_specs,

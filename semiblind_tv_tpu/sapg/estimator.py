@@ -245,7 +245,7 @@ def make_general_sapg_step(
         return (
             sapg.in_kernel_rng
             and jax.default_backend() in ("tpu", "axon")
-            and resolve_use_fused(B)
+            and (resolve_use_fused(B) or resolve_use_streamed_fused())
             and not resolve_fuse_dft(B)
         )
 
@@ -475,12 +475,15 @@ def make_general_sapg_step(
 
             # whole spatial segment in one launch; the /σ² of gradF is
             # folded into the kernel (one fewer XLA elementwise pass over
-            # a ≥16 MB field)
+            # a ≥16 MB field).  With in_kernel_rng the (B, 2) seeds ride
+            # in SMEM and the noise never touches HBM.
             Xn, proxn, tv = myula_prox_tv_streamed(
-                X, prox, blur.irfft(jnp.conj(H)[None] * Rhat), Z,
+                X, prox, blur.irfft(jnp.conj(H)[None] * Rhat),
+                None if use_ikr else Z,
                 gam, lam, lam * theta, sigma2,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=sapg.positivity,
+                seeds=Z if use_ikr else None,
             )
             Xhatn = blur.rfft(Xn)
         else:
@@ -641,10 +644,12 @@ def make_general_sapg_step(
             from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_streamed
 
             Xn, proxn, tv = myula_prox_tv_streamed(
-                X, prox, blur.irfft(jnp.conj(H0_c)[None] * Rhat), Z,
+                X, prox, blur.irfft(jnp.conj(H0_c)[None] * Rhat),
+                None if use_ikr else Z,
                 gam, lam, lam * theta0_c, sigma0,
                 n_sweeps=sapg.chambolle_iters, tau=sapg.chambolle_tau,
                 tol=sapg.chambolle_tol, positivity=True,
+                seeds=Z if use_ikr else None,
             )
             Xhatn = blur.rfft(Xn)
         else:

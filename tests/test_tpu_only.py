@@ -547,3 +547,37 @@ def test_operating_point_4096_smoke():
     gain = results["mse_db_observation"] - results["mse_db"]
     assert np.isfinite(results["mse_db"])
     assert gain > 5.0, results
+
+
+@requires_tpu
+def test_in_kernel_rng_streamed_2048():
+    """in_kernel_rng on the streamed fused kernel (the ≥2048² step): same
+    seeds → bit-identical, different seeds → different noise, recovered
+    Langevin noise is N(0,1) to sampling error.  Step-level throughput is
+    measured NEUTRAL at 2048² (215.3 vs 214.1 chain-iter/s, RESULTS.md
+    r5) — the option exists for ladder-wide feature parity with the 512²
+    whole-image variant, default off."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.ops.fused_step_pallas import myula_prox_tv_streamed
+
+    M = 2048
+    ks = jax.random.split(jax.random.key(7), 4)
+    x = jax.random.uniform(ks[0], (M, M), jnp.float32) * 255
+    graw = jax.random.normal(ks[2], (M, M)) * 0.01
+    seeds = jnp.asarray([12345, 6789], jnp.int32)
+    args = (jnp.float32(1.9), jnp.float32(2.0), jnp.float32(0.02),
+            jnp.float32(2.5))
+    xn1, f1, tv1 = myula_prox_tv_streamed(x, x, graw, None, *args, 25,
+                                          seeds=seeds)
+    xn2, *_ = myula_prox_tv_streamed(x, x, graw, None, *args, 25, seeds=seeds)
+    xn3, *_ = myula_prox_tv_streamed(x, x, graw, None, *args, 25,
+                                     seeds=seeds + 1)
+    assert float(jnp.max(jnp.abs(xn1 - xn2))) == 0.0
+    assert float(jnp.max(jnp.abs(xn1 - xn3))) > 1.0
+    # prox == x ⇒ xn = |x − γ·grad/σ² + √(2γ)·z|; x ≫ 0 so abs is inert
+    z = (xn1 - (x - args[0] * (graw / args[3]))) / jnp.sqrt(2.0 * args[0])
+    assert abs(float(jnp.mean(z))) < 0.01
+    assert abs(float(jnp.std(z)) - 1.0) < 0.01
+    assert bool(jnp.isfinite(tv1))
