@@ -581,3 +581,30 @@ def test_in_kernel_rng_streamed_2048():
     assert abs(float(jnp.mean(z))) < 0.01
     assert abs(float(jnp.std(z)) - 1.0) < 0.01
     assert bool(jnp.isfinite(tv1))
+
+
+@requires_tpu
+def test_operating_point_2048_smoke():
+    """Small-budget 2048² end-to-end smoke through the r5 streamed-FUSED
+    step (the bit-identity test covers the kernel; this gates the full
+    demo pipeline — synthesis → SAPG → warm-dual streamed SALSA → metrics
+    — at the size's real auto configuration)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from semiblind_tv_tpu.cli.run_demo import run_demo
+    from semiblind_tv_tpu.runtime import gaussian_preset
+    from semiblind_tv_tpu.utils import synthetic_wheel
+
+    cfg = gaussian_preset(fix_w1=False, fix_w2=False)
+    cfg = dataclasses.replace(
+        cfg,
+        sapg=dataclasses.replace(cfg.sapg, samples=60, warmup=30, burn_in=48),
+        salsa=dataclasses.replace(cfg.salsa, outer_iters=80),
+    )
+    results, *_ = run_demo(cfg, synthetic_wheel(2048), n_chains=1,
+                           dtype=jnp.float32)
+    gain = results["mse_db_observation"] - results["mse_db"]
+    assert np.isfinite(results["mse_db"])
+    assert gain > 5.0, results
